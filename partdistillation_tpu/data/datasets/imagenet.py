@@ -1,0 +1,204 @@
+"""ImageNet-style dataset registrars (stages 1, 2, 3, 4, 5 inputs).
+
+Capability parity with the reference's
+``data/datasets/register_imagenet.py`` (class-dir walk, labels from
+labels.txt / synsets.dat+words.txt, class filtering/exclusion/single-class,
+TOTAL_PARTITIONS/PARTITION_INDEX slicing, skip-if-output-exists resume,
+optional attached stage-1 object masks),
+``register_imagenet_with_proposals.py`` (items joined with stage-2 proposal
+records, ``object_ratio`` filtering) and
+``register_imagenet_with_segmentation.py`` (items joined with stage-4
+part-label records).
+
+TPU-era differences: stage outputs live in a sharded ``PseudoLabelStore``
+instead of per-image torch.save files, so the joins and the resume skip are
+index lookups, not filesystem stats; partitioning defaults to
+``jax.process_index()/process_count()`` (one multi-host program replaces the
+reference's 40-60-job SLURM farms, SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+from ..catalog import Metadata
+from ..pseudo_store import PseudoLabelStore
+
+__all__ = [
+    "read_class_names",
+    "load_imagenet",
+    "load_imagenet_with_proposals",
+    "load_imagenet_with_segmentation",
+    "imagenet_metadata",
+]
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".JPEG", ".JPG", ".PNG")
+
+
+def read_class_names(root: str) -> Dict[str, str]:
+    """code -> human name. Supports labels.txt ("code name...") or
+    synsets.dat + words.txt (code<TAB>name), as in register_imagenet.py:83-98."""
+    names: Dict[str, str] = {}
+    labels = os.path.join(root, "labels.txt")
+    words = os.path.join(root, "words.txt")
+    if os.path.exists(labels):
+        with open(labels) as f:
+            for line in f:
+                parts = line.strip().split(None, 1)
+                if len(parts) == 2:
+                    names[parts[0]] = parts[1].split(",")[0].strip()
+    elif os.path.exists(words):
+        with open(words) as f:
+            for line in f:
+                parts = line.strip().split("\t", 1)
+                if len(parts) == 2:
+                    names[parts[0]] = parts[1].split(",")[0].strip()
+    return names
+
+
+def _partition(seq: Sequence, index: Optional[int], total: Optional[int]) -> List:
+    """Slice a class list into `total` contiguous chunks; chunk `index`.
+
+    Matches the reference's per-job class slicing (register_imagenet.py:125-131).
+    """
+    seq = list(seq)
+    if not total or total <= 1:
+        return seq
+    n = len(seq)
+    per = (n + total - 1) // total
+    return seq[index * per : (index + 1) * per]
+
+
+def load_imagenet(
+    root: str,
+    class_list: Optional[Sequence[str]] = None,
+    exclude_codes: Optional[Sequence[str]] = None,
+    single_class_code: Optional[str] = None,
+    partition_index: Optional[int] = None,
+    total_partitions: Optional[int] = None,
+    skip_ids: Optional[Set[str]] = None,
+    object_mask_store: Optional[str] = None,
+    debug_limit: Optional[int] = None,
+) -> List[dict]:
+    """Items: {image_id, file_name, class_code, class_id, class_name[, object_record]}.
+
+    * ``skip_ids``: image ids already present in the stage's output store —
+      the resume contract (register_imagenet.py:42).
+    * ``object_mask_store``: a stage-1 store dir; when given, only images with
+      a saved object record are kept and the record is attached lazily as
+      ``object_store``+``image_id`` (the WITH_GIVEN_MASK path,
+      register_imagenet.py:49-55).
+    """
+    names = read_class_names(root)
+    codes = sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
+    )
+    if single_class_code:
+        codes = [c for c in codes if c == single_class_code]
+    if class_list is not None:
+        keep = set(class_list)
+        codes = [c for c in codes if c in keep]
+    if exclude_codes:
+        drop = set(exclude_codes)
+        codes = [c for c in codes if c not in drop]
+    codes = _partition(codes, partition_index, total_partitions)
+
+    store = PseudoLabelStore(object_mask_store) if object_mask_store else None
+    skip_ids = skip_ids or set()
+
+    items: List[dict] = []
+    code_to_id = {c: i for i, c in enumerate(codes)}
+    for code in codes:
+        class_dir = os.path.join(root, code)
+        for fname in sorted(os.listdir(class_dir)):
+            if not fname.endswith(_IMG_EXTS):
+                continue
+            image_id = os.path.splitext(fname)[0]
+            if image_id in skip_ids:
+                continue
+            if store is not None and image_id not in store:
+                continue
+            item = {
+                "image_id": image_id,
+                "file_name": os.path.join(class_dir, fname),
+                "class_code": code,
+                "class_id": code_to_id[code],
+                "class_name": names.get(code, code),
+            }
+            if store is not None:
+                item["object_store"] = object_mask_store
+            items.append(item)
+            if debug_limit and len(items) >= debug_limit:
+                return items
+    return items
+
+
+def imagenet_metadata(root: str, items: List[dict], name: str = "imagenet") -> Metadata:
+    codes = sorted({it["class_code"] for it in items})
+    names = read_class_names(root)
+    return Metadata(
+        name=name,
+        class_codes=codes,
+        class_code_to_class_id={c: i for i, c in enumerate(codes)},
+        class_names=[names.get(c, c) for c in codes],
+    )
+
+
+def load_imagenet_with_proposals(
+    imagenet_items: List[dict],
+    proposal_store_dir: str,
+    min_object_area_ratio: float = 0.0,
+    path_only: bool = True,
+    debug_limit: Optional[int] = None,
+) -> List[dict]:
+    """Join images with stage-2 (dCRF-smoothed) part-proposal records.
+
+    ``object_ratio`` filtering per register_imagenet_with_proposals.py:58;
+    ``path_only`` keeps the join lazy (mapper loads the record), mirroring
+    the reference's path-tuple datasets (:31-78) that avoid loading millions
+    of annotation payloads at register time.
+    """
+    store = PseudoLabelStore(proposal_store_dir)
+    out: List[dict] = []
+    for item in imagenet_items:
+        record = store.get(item["image_id"])
+        if record is None:
+            continue
+        if record.get("object_ratio", 1.0) <= min_object_area_ratio:
+            continue
+        joined = dict(item)
+        if path_only:
+            joined["proposal_store"] = proposal_store_dir
+        else:
+            joined["proposals"] = record
+        out.append(joined)
+        if debug_limit and len(out) >= debug_limit:
+            break
+    return out
+
+
+def load_imagenet_with_segmentation(
+    imagenet_items: List[dict],
+    part_label_store_dir: str,
+    path_only: bool = True,
+    debug_limit: Optional[int] = None,
+) -> List[dict]:
+    """Join images with stage-4 class-labeled part masks
+    (register_imagenet_with_segmentation.py:31-53)."""
+    store = PseudoLabelStore(part_label_store_dir)
+    out: List[dict] = []
+    for item in imagenet_items:
+        record = store.get(item["image_id"])
+        if record is None:
+            continue
+        joined = dict(item)
+        if path_only:
+            joined["part_label_store"] = part_label_store_dir
+        else:
+            joined["part_labels"] = record
+        out.append(joined)
+        if debug_limit and len(out) >= debug_limit:
+            break
+    return out

@@ -1,0 +1,113 @@
+"""Per-host sharded data loader: items -> mapper -> fixed-shape batches.
+
+Replaces detectron2's DataLoader + worker processes (SURVEY.md §3.1 "worker
+procs (4/GPU)") with a thread-pool mapper and a bounded prefetch queue. Host
+sharding is by ``jax.process_index()/process_count()`` — the single multi-host
+program equivalent of the reference's SLURM job farms + per-GPU DDP samplers.
+
+Batches are dicts of stacked numpy arrays with static shapes (mappers emit
+fixed-capacity padded examples); the final partial batch of an epoch is padded
+by repeating the last example, with a ``batch_valid`` bool vector marking real
+rows — evaluators must respect it (the reference instead relied on
+drop-last / uneven final batches, which XLA-compiled steps cannot take).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+__all__ = ["host_shard", "batch_iterator", "DataLoader"]
+
+
+def host_shard(items: List[dict], process_index: Optional[int] = None,
+               process_count: Optional[int] = None) -> List[dict]:
+    """Strided slice of the item list for this host."""
+    if process_index is None or process_count is None:
+        import jax
+
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    return items[process_index::process_count]
+
+
+def _collate(examples: List[dict], target: int) -> Dict[str, np.ndarray]:
+    n = len(examples)
+    while len(examples) < target:
+        examples = examples + [examples[-1]]
+    batch: Dict[str, np.ndarray] = {}
+    for key in examples[0]:
+        vals = [ex[key] for ex in examples]
+        if isinstance(vals[0], str):
+            batch[key] = np.asarray(vals, dtype=object)
+        else:
+            batch[key] = np.stack([np.asarray(v) for v in vals])
+    batch["batch_valid"] = np.arange(target) < n
+    return batch
+
+
+def batch_iterator(
+    items: List[dict],
+    mapper: Callable[[dict], Optional[dict]],
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    epochs: Optional[int] = 1,
+    num_workers: int = 8,
+    drop_last: bool = False,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields batches; skips items the mapper rejects (returns None).
+
+    ``epochs=None`` repeats forever (training); per-epoch reshuffle keyed by
+    (seed, epoch).
+    """
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = np.arange(len(items))
+        if shuffle:
+            np.random.RandomState((seed, epoch)).shuffle(order)
+        pending: List[dict] = []
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            for example in pool.map(lambda i: mapper(items[int(i)]), order):
+                if example is None:
+                    continue
+                pending.append(example)
+                if len(pending) == batch_size:
+                    yield _collate(pending, batch_size)
+                    pending = []
+        if pending and not drop_last:
+            yield _collate(pending, batch_size)
+        epoch += 1
+
+
+class DataLoader:
+    """batch_iterator + a background prefetch thread (bounded queue)."""
+
+    def __init__(self, items: List[dict], mapper, batch_size: int,
+                 shuffle: bool = False, seed: int = 0,
+                 epochs: Optional[int] = 1, num_workers: int = 8,
+                 prefetch: int = 4, drop_last: bool = False):
+        self._iter = batch_iterator(items, mapper, batch_size, shuffle, seed,
+                                    epochs, num_workers, drop_last)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._done = object()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        try:
+            for batch in self._iter:
+                self._q.put(batch)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        while True:
+            batch = self._q.get()
+            if batch is self._done:
+                return
+            yield batch

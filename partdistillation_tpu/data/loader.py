@@ -65,23 +65,32 @@ def batch_iterator(
     ``epochs=None`` repeats forever (training); per-epoch reshuffle keyed by
     (seed, epoch).
     """
+    if not items:
+        return
     epoch = 0
+    # pending carries across epochs: with fewer usable items than batch_size
+    # (fewshot subsets, heavy mapper filtering) a batch still fills after
+    # several epochs instead of spinning forever under drop_last.
+    pending: List[dict] = []
     while epochs is None or epoch < epochs:
         order = np.arange(len(items))
         if shuffle:
             np.random.RandomState((seed, epoch)).shuffle(order)
-        pending: List[dict] = []
+        got_any = False
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             for example in pool.map(lambda i: mapper(items[int(i)]), order):
                 if example is None:
                     continue
+                got_any = True
                 pending.append(example)
                 if len(pending) == batch_size:
                     yield _collate(pending, batch_size)
                     pending = []
-        if pending and not drop_last:
-            yield _collate(pending, batch_size)
+        if epochs is None and not got_any:
+            return  # every item rejected: an infinite loader would spin forever
         epoch += 1
+    if pending and not drop_last:
+        yield _collate(pending, batch_size)
 
 
 class DataLoader:

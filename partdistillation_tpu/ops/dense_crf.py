@@ -1,0 +1,208 @@
+"""Dense-CRF mean-field inference on device (XLA/TPU-native).
+
+Replaces the reference's pydensecrf CPU farm (continuously_postprocess_dcrf.py
+:23-51 + sh_files/dcrf/run.sh: up to 90 host processes, each ~seconds/image)
+with a batched, jitted mean-field solver. Model (Krähenbühl & Koltun dense
+CRF with Potts compatibility, the exact model pydensecrf evaluates):
+
+  E(x) = sum_i U_i(x_i) + sum_{i<j} mu(x_i,x_j) [ w_g k_gauss(p_i,p_j)
+                                                + w_b k_bilateral(p_i,c_i;p_j,c_j) ]
+
+Mean-field update per iteration (Potts mu = [l != l']):
+  Q_i(l) <- softmax_l( -U_i(l) + w_g * G[Q](i,l) + w_b * B[Q](i,l) )
+with the self-interaction k(i,i)=1 subtracted from each message.
+
+TPU mapping of the two message passes:
+  * Gaussian kernel (sxy ~ 3px): exact truncated separable depthwise
+    convolution — pure VPU work, fused by XLA.
+  * Bilateral kernel (sxy ~ 20px, srgb ~ 13): a **bilateral grid**
+    (splat -> separable 5-D blur -> slice). The reference's permutohedral
+    lattice is a sparse scatter/gather structure that maps poorly to TPU; a
+    dense 5-D grid of (H/sxy, W/sxy, 256/srgb^3) cells is small (~1-2M cells
+    for 640^2), and splat/slice are plain scatter-add/gather that XLA lowers
+    natively. Quality is verified against brute-force bilateral filtering in
+    tests/test_dense_crf.py.
+
+Reference parameters (continuously_postprocess_dcrf.py:23): gt_prob p=0.7,
+iters t=10, gaussian sxy=3 compat=3, bilateral sxy=20 srgb=13 compat=10
+(utils/utils.py:50-78 uses t=5, bilateral sxy=5 for the in-training variant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["DenseCRFParams", "dense_crf", "unary_from_masks",
+           "gaussian_blur", "bilateral_filter"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseCRFParams:
+    gt_prob: float = 0.7
+    iters: int = 10
+    gauss_sxy: float = 3.0
+    gauss_compat: float = 3.0
+    bilateral_sxy: float = 20.0
+    bilateral_srgb: float = 13.0
+    bilateral_compat: float = 10.0
+
+
+def _gauss_kernel_1d(sigma: float) -> jnp.ndarray:
+    radius = max(int(math.ceil(2.0 * sigma)), 1)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k  # unnormalized, matching the CRF kernel k(f_i,f_j)=exp(-|d|^2/2s^2)
+
+
+def gaussian_blur(x: jnp.ndarray, sigma: float, normalize: bool = False) -> jnp.ndarray:
+    """Separable Gaussian filter over the two leading spatial dims of (H,W,C)."""
+    k = _gauss_kernel_1d(sigma)
+    if normalize:
+        k = k / jnp.sum(k)
+    pad = (k.shape[0] - 1) // 2
+
+    def conv_axis(arr, axis):
+        moved = jnp.moveaxis(arr, axis, -1)  # (..., H)
+        shape = moved.shape
+        flat = moved.reshape(-1, 1, shape[-1])
+        out = jax.lax.conv_general_dilated(
+            flat, k[None, None, :], window_strides=(1,),
+            padding=[(pad, pad)], dimension_numbers=("NCH", "OIH", "NCH"))
+        return jnp.moveaxis(out.reshape(shape), -1, axis)
+
+    return conv_axis(conv_axis(x, 0), 1)
+
+
+def _splat_blur_slice(coords: jnp.ndarray, values: jnp.ndarray,
+                      grid_shape: Tuple[int, ...]) -> jnp.ndarray:
+    """Multilinear splat of `values` at fractional cell `coords` into a dense
+    grid, sigma=1-cell Gaussian blur per axis, multilinear slice back.
+
+    coords: (N, D) float cell positions in [0, grid_shape[d]-1];
+    values: (N, C). Returns (N, C).
+    """
+    n, d = coords.shape
+    c = values.shape[-1]
+    strides = []
+    total = 1
+    for s in reversed(grid_shape):
+        strides.append(total)
+        total *= s
+    strides = jnp.asarray(list(reversed(strides)), jnp.int32)
+
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    lo = lo.astype(jnp.int32)
+    max_idx = jnp.asarray([s - 1 for s in grid_shape], jnp.int32)
+
+    corner_idx = []
+    corner_w = []
+    for corner in range(1 << d):
+        bits = jnp.asarray([(corner >> k) & 1 for k in range(d)], jnp.int32)
+        idx = jnp.clip(lo + bits[None, :], 0, max_idx[None, :])
+        wgt = jnp.prod(jnp.where(bits[None, :] == 1, frac, 1.0 - frac), axis=1)
+        corner_idx.append(jnp.sum(idx * strides[None, :], axis=1))
+        corner_w.append(wgt)
+    corner_idx = jnp.stack(corner_idx)          # (2^D, N)
+    corner_w = jnp.stack(corner_w)              # (2^D, N)
+
+    grid = jnp.zeros((total, c), values.dtype)
+    grid = grid.at[corner_idx.reshape(-1)].add(
+        (corner_w[..., None] * values[None]).reshape(-1, c))
+    grid = grid.reshape(*grid_shape, c)
+
+    # separable blur along each grid axis (3-tap, sigma = 1 cell)
+    w = jnp.asarray([math.exp(-0.5), 1.0, math.exp(-0.5)], values.dtype)
+    for axis in range(d):
+        up = jnp.roll(grid, 1, axis)
+        down = jnp.roll(grid, -1, axis)
+        # zero the wrapped borders
+        idx = jnp.arange(grid.shape[axis])
+        shape = [1] * grid.ndim
+        shape[axis] = grid.shape[axis]
+        first = (idx == 0).reshape(shape)
+        last = (idx == grid.shape[axis] - 1).reshape(shape)
+        up = jnp.where(first, 0.0, up)
+        down = jnp.where(last, 0.0, down)
+        grid = w[1] * grid + w[0] * up + w[2] * down
+
+    flat = grid.reshape(total, c)
+    out = jnp.einsum("kn,knc->nc", corner_w, flat[corner_idx])
+    return out
+
+
+def bilateral_filter(image: jnp.ndarray, values: jnp.ndarray,
+                     sxy: float, srgb: float) -> jnp.ndarray:
+    """Joint-bilateral filtering of (H,W,C) `values` guided by (H,W,3) `image`
+    via a 5-D bilateral grid. Returns unnormalized filtered values (the CRF
+    message), i.e. sum_j k(i,j) v_j with k a separable Gaussian in (x,y,r,g,b).
+    """
+    h, w, c = values.shape
+    gy = max(int(math.ceil(h / sxy)) + 2, 2)
+    gx = max(int(math.ceil(w / sxy)) + 2, 2)
+    gc = max(int(math.ceil(255.0 / srgb)) + 2, 2)
+
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    coords = jnp.stack([
+        jnp.clip(yy / sxy, 0.0, gy - 1.0),
+        jnp.clip(xx / sxy, 0.0, gx - 1.0),
+        jnp.clip(image[..., 0] / srgb, 0.0, gc - 1.0),
+        jnp.clip(image[..., 1] / srgb, 0.0, gc - 1.0),
+        jnp.clip(image[..., 2] / srgb, 0.0, gc - 1.0),
+    ], axis=-1).reshape(-1, 5)
+
+    out = _splat_blur_slice(coords, values.reshape(-1, c), (gy, gx, gc, gc, gc))
+    return out.reshape(h, w, c)
+
+
+def unary_from_masks(masks: jnp.ndarray, valid: jnp.ndarray,
+                     gt_prob: float) -> jnp.ndarray:
+    """Composite label map -> unary -log probabilities (H, W, L+1).
+
+    Port of the reference's unary construction: binary part masks are merged
+    into one label image (background = 0) and each pixel's observed label gets
+    probability `gt_prob`, the rest uniform (continuously_postprocess_dcrf.py
+    :144-153 with pydensecrf unary_from_labels semantics).
+
+    masks: (T, H, W) bool, valid: (T,) bool. Label t occupies channel t+1.
+    """
+    t, h, w = masks.shape
+    m = masks & valid[:, None, None]
+    # later masks overwrite earlier ones, background where none
+    label = jnp.zeros((h, w), jnp.int32)
+    for i in range(t):
+        label = jnp.where(m[i], i + 1, label)
+    n_labels = t + 1
+    p_other = (1.0 - gt_prob) / (n_labels - 1)
+    onehot = jax.nn.one_hot(label, n_labels)
+    probs = onehot * gt_prob + (1.0 - onehot) * p_other
+    return -jnp.log(probs)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def dense_crf(image: jnp.ndarray, unary: jnp.ndarray,
+              params: DenseCRFParams = DenseCRFParams()) -> jnp.ndarray:
+    """Mean-field dense-CRF. image (H,W,3) in [0,255]; unary (H,W,L) -log p.
+
+    Returns refined label probabilities Q (H,W,L).
+    """
+    log_unary = -unary
+    q = jax.nn.softmax(log_unary, axis=-1)
+
+    def body(_, q):
+        m_gauss = gaussian_blur(q, params.gauss_sxy) - q  # subtract self (k(i,i)=1)
+        m_bilat = bilateral_filter(image, q, params.bilateral_sxy,
+                                   params.bilateral_srgb) - q
+        logits = (log_unary
+                  + params.gauss_compat * m_gauss
+                  + params.bilateral_compat * m_bilat)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return jax.lax.fori_loop(0, params.iters, body, q)

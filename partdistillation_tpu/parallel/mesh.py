@@ -25,13 +25,16 @@ __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
-    """1-D or 2-D mesh over all available devices (data-major)."""
+    """1-D or 2-D mesh (data-major). Uses the first n_data*n_model devices;
+    an explicit n_data smaller than available leaves the rest idle (useful
+    when the per-host batch doesn't divide the device count)."""
     devices = np.asarray(jax.devices())
     total = len(devices)
     if n_data is None:
         n_data = total // n_model
-    assert n_data * n_model == total, (n_data, n_model, total)
-    return Mesh(devices.reshape(n_data, n_model), ("data", "model"))
+    need = n_data * n_model
+    assert need <= total, (n_data, n_model, total)
+    return Mesh(devices[:need].reshape(n_data, n_model), ("data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -99,7 +99,12 @@ def encode(mask: np.ndarray) -> dict:
     if mask.ndim != 2:
         raise ValueError(f"expected HxW mask, got shape {mask.shape}")
     h, w = mask.shape
-    return {"size": [int(h), int(w)], "counts": _compress_counts(_mask_to_runs(mask))}
+    from . import native_lib
+
+    counts = native_lib.encode_counts(mask)
+    if counts is None:
+        counts = _compress_counts(_mask_to_runs(mask))
+    return {"size": [int(h), int(w)], "counts": counts}
 
 
 def decode(rle: dict) -> np.ndarray:
@@ -107,6 +112,12 @@ def decode(rle: dict) -> np.ndarray:
     h, w = int(rle["size"][0]), int(rle["size"][1])
     counts = rle["counts"]
     if isinstance(counts, (bytes, str)):
+        from . import native_lib
+
+        raw = counts.encode("ascii") if isinstance(counts, str) else counts
+        out = native_lib.decode_counts(raw, h, w)
+        if out is not None:
+            return out
         runs = _decompress_counts(counts)
     else:
         runs = np.asarray(counts, dtype=np.int64)
@@ -115,7 +126,16 @@ def decode(rle: dict) -> np.ndarray:
 
 def area(rle: dict) -> int:
     counts = rle["counts"]
-    runs = _decompress_counts(counts) if isinstance(counts, (bytes, str)) else np.asarray(counts)
+    if isinstance(counts, (bytes, str)):
+        from . import native_lib
+
+        raw = counts.encode("ascii") if isinstance(counts, str) else counts
+        a = native_lib.area_counts(raw)
+        if a is not None:
+            return a
+        runs = _decompress_counts(counts)
+    else:
+        runs = np.asarray(counts)
     return int(np.sum(runs[1::2]))
 
 
@@ -138,6 +158,17 @@ def iou_matrix(dets: list[dict], gts: list[dict]) -> np.ndarray:
     """
     if len(dets) == 0 or len(gts) == 0:
         return np.zeros((len(dets), len(gts)), dtype=np.float64)
+    if all(isinstance(r["counts"], (bytes, str)) for r in dets + gts):
+        from . import native_lib
+
+        def _raw(r):
+            c = r["counts"]
+            return c.encode("ascii") if isinstance(c, str) else c
+
+        out = native_lib.iou_counts_matrix([_raw(r) for r in dets],
+                                           [_raw(r) for r in gts])
+        if out is not None:
+            return out
     d = np.stack([decode(r).astype(bool).ravel() for r in dets])  # (D, HW)
     g = np.stack([decode(r).astype(bool).ravel() for r in gts])  # (G, HW)
     inter = (d.astype(np.int64) @ g.T.astype(np.int64)).astype(np.float64)

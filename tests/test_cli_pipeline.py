@@ -1,0 +1,142 @@
+"""End-to-end five-stage pipeline through the CLI on synthetic data.
+
+The TPU-native analog of the reference's debug-mode smoke runs
+(SURVEY.md §4.2): label -> propose -> dcrf -> train-proposal -> rank
+(cluster+save) -> train-distillation, all with --tiny models, on one
+synthetic ImageNet mini-split, chained through the pseudo-label stores.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from partdistillation_tpu import run as cli
+from partdistillation_tpu.data.pseudo_store import PseudoLabelStore, ShardWriter
+from partdistillation_tpu.utils import rle as rle_codec
+
+
+@pytest.fixture(scope="module")
+def pipeline_env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pipeline")
+    root = tmp / "imagenet"
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for ci, code in enumerate(["n01440764", "n01443537"]):
+        d = root / code
+        d.mkdir(parents=True)
+        for j in range(4):
+            img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+            # paint a colored object region so dCRF/k-means have structure
+            img[16:52, 12:48] = [60 + 80 * ci, 160, 220 - 60 * ci]
+            Image.fromarray(img).save(str(d / f"{code}_{j}.JPEG"))
+    (root / "labels.txt").write_text("n01440764 tench\nn01443537 goldfish\n")
+
+    # synthetic stage-1 detections store (the external-detector contract)
+    det_dir = tmp / "detections"
+    items_per_class = 4
+    with ShardWriter(str(det_dir), 0, 1) as w:
+        for ci, code in enumerate(["n01440764", "n01443537"]):
+            for j in range(items_per_class):
+                m = np.zeros((64, 64), bool)
+                m[16:52, 12:48] = True
+                noise = np.zeros((64, 64), bool)
+                noise[:10, :10] = True
+                w.write({
+                    "image_id": f"{code}_{j}",
+                    "masks": [rle_codec.encode(m), rle_codec.encode(noise)],
+                    "scores": [0.9, 0.4],
+                    "class_ids": [ci, 1 - ci],
+                })
+
+    cfgdir = tmp / "work"
+    cfgdir.mkdir()
+    os.chdir(str(cfgdir))
+    overrides = [
+        f"data.imagenet_root={root}",
+        "data.image_size=64",
+        "data.batch_size=4",
+        "data.mask_capacity=8",
+        "data.num_workers=2",
+        f"paths.root={tmp}/pseudo_labels",
+        f"checkpoint_dir={tmp}/ckpt",
+        "max_iters=2",
+        "log_every=1",
+        "checkpoint_every=1000",
+    ]
+    return {"tmp": tmp, "root": root, "det": det_dir, "overrides": overrides}
+
+
+def _run(argv, capsys):
+    cli.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads(out[-1])
+
+
+def test_stage1_label(pipeline_env, capsys):
+    ov = pipeline_env["overrides"]
+    res = _run(["label", "--detections", str(pipeline_env["det"]),
+                "--set", *ov], capsys)
+    assert res["saved"] == 8
+    store = PseudoLabelStore(str(pipeline_env["tmp"] / "pseudo_labels/object_labels"))
+    rec = store.get("n01440764_0")
+    # class-matched detection ranked first
+    assert rec["scores"][0] == pytest.approx(0.9)
+    assert rec["pred_classes"][0] == 0
+    # idempotent resume: rerun saves nothing
+    res2 = _run(["label", "--detections", str(pipeline_env["det"]),
+                 "--set", *ov], capsys)
+    assert res2["saved"] == 0 and res2["skipped"] == 8
+
+
+def test_stage2_propose(pipeline_env, capsys):
+    ov = pipeline_env["overrides"]
+    res = _run(["propose", "--tiny", "--set", *ov], capsys)
+    assert res["saved"] == 8
+    store = PseudoLabelStore(str(pipeline_env["tmp"] / "pseudo_labels/proposal_generation"))
+    rec = store.get("n01440764_0")
+    assert 1 <= len(rec["part_masks"]) <= 4
+    assert 0.0 < rec["object_ratio"] <= 1.0
+
+
+def test_stage2b_dcrf(pipeline_env, capsys):
+    ov = pipeline_env["overrides"]
+    res = _run(["dcrf", "--iters", "2", "--set", *ov], capsys)
+    assert res["saved"] == 8
+    store = PseudoLabelStore(str(pipeline_env["tmp"] / "pseudo_labels/proposals_dcrf"))
+    rec = store.get("n01443537_1")
+    assert len(rec["part_masks"]) >= 1
+    m = rle_codec.decode(rec["part_masks"][0])
+    assert m.shape == (64, 64)
+
+
+def test_stage3_train_proposal(pipeline_env, capsys):
+    ov = pipeline_env["overrides"]
+    res = _run(["train-proposal", "--tiny", "--num-queries", "8",
+                "--no-freeze-trunk", "--set", *ov], capsys)
+    assert res["steps"] >= 2
+
+
+def test_stage4_rank_cluster_save(pipeline_env, capsys):
+    ov = pipeline_env["overrides"]
+    res = _run(["rank", "--tiny", "--num-queries", "8", "--num-clusters", "3",
+                "--phases", "cluster,save", "--set", *ov], capsys)
+    assert res["phases"] == ["cluster", "save"]
+    cents = np.load(str(pipeline_env["tmp"] / "ckpt/rank_centroids.npz"))["centroids"]
+    assert cents.shape == (2, 3, 32)  # (object classes, k, hidden)
+    store = PseudoLabelStore(
+        str(pipeline_env["tmp"] / "pseudo_labels/part_masks_with_class"))
+    assert len(store) == 8
+    rec = next(iter(store))
+    assert len(rec["part_masks"]) == len(rec["part_labels"]) == len(rec["part_scores"])
+    assert all(0 <= l < 3 for l in rec["part_labels"])
+
+
+def test_stage5_train_distillation(pipeline_env, capsys):
+    ov = pipeline_env["overrides"]
+    res = _run(["train-distillation", "--tiny", "--num-queries", "8",
+                "--num-parts", "3", "--num-object-classes", "4",
+                "--set", *ov], capsys)
+    assert res["steps"] >= 2

@@ -45,6 +45,10 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16):
         pixel_decoder=PixelDecoderConfig(dtype=dtype),
         decoder=TransformerDecoderConfig(num_classes=1, num_queries=200, dec_layers=9,
                                          dtype=dtype),
+        # reference stage-3 freeze (train_multi.sh:8): stop-gradient releases
+        # all trunk backward activations on top of the optimizer masking
+        freeze_backbone=True,
+        freeze_pixel_decoder=True,
     )
     cfg = ProposalModelConfig(
         segmenter=seg,

@@ -1,0 +1,84 @@
+"""Multi-host initialization + elastic-resume helpers.
+
+Replaces the reference's SLURM/submitit launcher stack
+(multi_node_train_net.py:116-263 — NCCL/GLOO socket pinning, TCP-store
+rendezvous via `scontrol`, preemption requeue with --resume) with the JAX
+runtime equivalents:
+
+* `initialize()` — `jax.distributed.initialize()`: coordinator discovery is
+  automatic on TPU pods (no dist_url plumbing); on CPU/GPU it honors the
+  standard env vars. Safe to call once per process, no-op single-host.
+* rank-0 gating — `is_main_process()` (= jax.process_index() == 0), the
+  analog of detectron2 comm.is_main_process.
+* preemption safety — the pipeline's state is externally durable: pseudo-label
+  stores are append-only and idempotent (resume by skip-if-written), trainers
+  restore the latest Orbax checkpoint (Trainer.resume_or_load). A requeued
+  job repeats at most `checkpoint_every` steps — the submitit
+  checkpoint()/DelayedSubmission dance is unnecessary.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+logger = logging.getLogger("partdistillation_tpu")
+
+__all__ = ["initialize", "is_main_process", "process_index", "process_count",
+           "barrier"]
+
+_initialized = False
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed when running multi-host; no-op otherwise.
+
+    On TPU pods all arguments are discovered from the environment. For
+    CPU/GPU multi-process runs pass them explicitly or via
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    """
+    global _initialized
+    if _initialized:
+        return
+    import jax
+
+    explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    on_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES")
+                  or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if explicit or on_pod:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+        logger.info("jax.distributed initialized: process %d/%d",
+                    jax.process_index(), jax.process_count())
+    _initialized = True
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return process_index() == 0
+
+
+def barrier(name: str = "barrier") -> None:
+    """Cross-host sync point (detectron2 comm.synchronize equivalent)."""
+    import jax
+
+    if jax.process_count() > 1:  # pragma: no cover - multihost only
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)

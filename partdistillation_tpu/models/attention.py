@@ -33,6 +33,7 @@ class MultiHeadAttention(nn.Module):
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = False  # Pallas fused kernel on TPU (ops/fused_attention)
 
     @nn.compact
     def __call__(
@@ -54,11 +55,21 @@ class MultiHeadAttention(nn.Module):
         kh = split(key, "k_proj")
         vh = split(value, "v_proj")
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32)
-        if block_mask is not None:
-            logits = jnp.where(block_mask, jnp.float32(-1e9), logits)
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        if self.use_fused:
+            from ..ops.fused_attention import fused_masked_attention
+
+            mask = None
+            if block_mask is not None:
+                mask = jnp.broadcast_to(
+                    block_mask, (b,) + block_mask.shape[-3:])
+            out = fused_masked_attention(qh, kh, vh, mask)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                                preferred_element_type=jnp.float32)
+            if block_mask is not None:
+                logits = jnp.where(block_mask, jnp.float32(-1e9), logits)
+            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(b, q, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 

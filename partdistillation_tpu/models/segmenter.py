@@ -55,10 +55,21 @@ class MaskFormerSegmenter(nn.Module):
         train: bool = False,
         gt_object_class: Optional[jnp.ndarray] = None,
     ) -> dict:
+        import jax
+
         feats = SwinTransformer(self.cfg.swin, name="backbone")(images, train=train)
+        if self.cfg.freeze_backbone:
+            # stage-3/5 launches freeze the trunk (train_multi.sh:8
+            # freeze_keys='["backbone","encoder"]'). stop_gradient here does
+            # what DDP-freezing did — and on TPU it also releases all trunk
+            # backward activations (the dominant HBM term at 640^2).
+            feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
         mask_features, encoder_feature, ms_feats = MSDeformAttnPixelDecoder(
             self.cfg.pixel_decoder, name="pixel_decoder"
         )(feats)
+        if self.cfg.freeze_pixel_decoder:
+            mask_features = jax.lax.stop_gradient(mask_features)
+            ms_feats = [jax.lax.stop_gradient(f) for f in ms_feats]
 
         decoder_cls = (
             PartDistillationTransformerDecoder

@@ -56,6 +56,9 @@ class TransformerDecoderConfig:
     num_object_classes: int = 0  # >0 enables the per-object-class part head
     num_parts: int = 8
     dtype: jnp.dtype = jnp.float32
+    # Pallas fused masked attention for the decoder's cross-attention
+    # (TPU only; XLA composition elsewhere). ops/fused_attention.py.
+    use_fused_attention: bool = True
 
 
 class _MLP(nn.Module):
@@ -79,7 +82,8 @@ class _DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, q, q_pos, src, src_pos, block_mask):
         cfg = self.cfg
-        ca = MultiHeadAttention(cfg.hidden_dim, cfg.num_heads, dtype=cfg.dtype, name="cross_attn")(
+        ca = MultiHeadAttention(cfg.hidden_dim, cfg.num_heads, dtype=cfg.dtype,
+                                use_fused=cfg.use_fused_attention, name="cross_attn")(
             q + q_pos, src + src_pos, src, block_mask
         )
         q = nn.LayerNorm(dtype=cfg.dtype, name="norm_cross")(q + ca)
@@ -105,7 +109,10 @@ def _attn_block_mask(mask_logits: jnp.ndarray, hw: Tuple[int, int], num_heads: i
     all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
     blocked = jnp.where(all_blocked, False, blocked)
     blocked = jax.lax.stop_gradient(blocked)
-    return jnp.broadcast_to(blocked[:, None], (b, num_heads, q, h * w))
+    # (B, 1, Q, K): heads share the mask — keep it unbroadcast so the fused
+    # kernel DMAs one copy per query tile instead of one per head.
+    del num_heads
+    return blocked[:, None]
 
 
 class MultiScaleMaskedTransformerDecoder(nn.Module):

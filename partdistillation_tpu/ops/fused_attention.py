@@ -1,0 +1,269 @@
+"""Fused masked cross-attention (Pallas/TPU).
+
+The Mask2Former decoder cross-attends Q=200 queries against one feature scale
+at a time (K up to H*W/64 = ~6.4k keys at 640^2) through 9 layers, with a
+per-query boolean attention mask derived from the previous layer's mask
+prediction (reference mask2former_transformer_decoder.py:403-425). In the
+plain XLA composition the (B, heads, Q, K) logits and probabilities round-trip
+through HBM; this kernel fuses QK^T -> mask -> softmax -> PV into one
+VMEM-resident pass per (batch, head, query-tile). Measured on one TPU chip at
+production shapes (B8 H8 Q200 K6400 D32, bf16): 2.9 ms fused vs 25.6 ms for
+the XLA composition.
+
+Design notes
+------------
+* K/V are passed TRANSPOSED, (B, H, D, K): with head_dim = 32 the natural
+  (K, D) layout puts D on the 128-lane axis and Mosaic pads every K-sized
+  VMEM buffer 4x -- enough to blow the 16 MB VMEM budget in the backward
+  (observed 18.7 MB scoped allocation). In (D, K) layout all large buffers
+  are lane-aligned; the XLA-side transposes fuse into neighbors.
+* The additive mask is stored bf16 (values are only 0 / -1e9): halves HBM
+  traffic and VMEM footprint; added in f32.
+* K and V for one (b, h) fit VMEM at production sizes, so no online-softmax
+  streaming -- a single-pass kernel per query tile is the right point on TPU.
+* The Mask2Former "all-blocked row -> unblock" fix-up
+  (mask2former_transformer_decoder.py:421) is applied in the wrapper, fused
+  by XLA; padded keys stay blocked.
+* Backward is a second Pallas kernel (recompute-P): dK/dV accumulate across
+  sequential q-tile grid steps into transposed output blocks.
+* Why not a Pallas ms_deform_attn instead: Mosaic's gather lowering only
+  supports full-shape take_along_axis (indices.shape == input.shape + (1,)),
+  so the deformable op's per-query bilinear gathers cannot be expressed
+  directly; the XLA gather composition (ops/ms_deform_attn.py) is already
+  near-optimal there, and this kernel attacks the decoder instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["fused_masked_attention", "attention_reference"]
+
+_LANE = 128
+
+
+def attention_reference(q, k, v, neg_mask):
+    """XLA composition: q,k,v (B,H,Q|K,D); neg_mask (B,1|H,Q,K) additive f32."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if neg_mask is not None:
+        logits = logits + neg_mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _softmax_p(q, kt, m):
+    """(Qt,D) x (D,K) + bf16 mask -> row-softmax probabilities, f32."""
+    s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + m.astype(jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, kt_ref, vt_ref, m_ref, out_ref):
+    p = _softmax_p(q_ref[0, 0], kt_ref[0, 0], m_ref[0, 0])
+    # out = P V: contract K of p (Qt,K) with K of vT (D,K) -> (Qt, D)
+    out_ref[0, 0] = jax.lax.dot_general(
+        p.astype(vt_ref.dtype), vt_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _bwd_kernel(q_ref, kt_ref, vt_ref, m_ref, g_ref,
+                dq_ref, dkt_ref, dvt_ref):
+    """Recompute-P backward, one program per (b, h, q-tile); all MXU.
+
+      P    = softmax(QK^T + M)
+      dV^T += G^T P      ; dP = G V^T
+      dS   = P * (dP - rowsum(P * dP))
+      dQ   = dS K        ; dK^T += Q^T dS
+
+    dK^T/dV^T revisit the same output block across sequential q-tile grid
+    steps (TPU grids execute in order), initialized at the first tile.
+    """
+    from jax.experimental import pallas as pl
+
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]    # (Qt, D)
+    kt = kt_ref[0, 0]  # (D, K)
+    vt = vt_ref[0, 0]  # (D, K)
+    g = g_ref[0, 0]    # (Qt, D)
+
+    p = _softmax_p(q, kt, m_ref[0, 0])  # (Qt, K) f32
+
+    # dV^T (D, K) = G^T (D, Qt) @ P (Qt, K)
+    dvt_tile = jax.lax.dot_general(
+        g, p.astype(g.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dP (Qt, K) = G (Qt, D) @ V^T (D, K)
+    dp = jax.lax.dot_general(g, vt, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(q.dtype)
+    # dQ (Qt, D) = dS (Qt, K) @ K (K, D)  [kt is (D, K): contract K dims]
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, kt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    # dK^T (D, K) = Q^T (D, Qt) @ dS (Qt, K)
+    dkt_tile = jax.lax.dot_general(q, ds, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    @pl.when(qi == 0)
+    def _():
+        dkt_ref[0, 0] = dkt_tile.astype(dkt_ref.dtype)
+        dvt_ref[0, 0] = dvt_tile.astype(dvt_ref.dtype)
+
+    @pl.when(qi > 0)
+    def _():
+        dkt_ref[0, 0] = (dkt_ref[0, 0].astype(jnp.float32)
+                         + dkt_tile).astype(dkt_ref.dtype)
+        dvt_ref[0, 0] = (dvt_ref[0, 0].astype(jnp.float32)
+                         + dvt_tile).astype(dvt_ref.dtype)
+
+
+def _pad_to(x, axis, multiple, value=0.0):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _prep(q, k, v, neg_mask, q_tile):
+    """Pad to tiles, transpose K/V to (B,H,D,K), mask to bf16."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    qp = _pad_to(q, 2, q_tile)
+    kt = _pad_to(jnp.swapaxes(k, 2, 3), 3, _LANE)   # (B,H,D,Kp)
+    vt = _pad_to(jnp.swapaxes(v, 2, 3), 3, _LANE)
+    if neg_mask is None:
+        neg_mask = jnp.zeros((b, 1, nq, nk), jnp.float32)
+    # bf16 storage (values only 0 / -1e9); padded keys blocked, padded query
+    # rows unblocked-over-real-keys (harmless: their outputs/grads are cut).
+    mp = _pad_to(_pad_to(neg_mask.astype(jnp.bfloat16), 3, _LANE, -1e9),
+                 2, q_tile, 0.0)
+    return qp, kt, vt, mp
+
+
+def _mask_spec(pl, pltpu, mh, q_tile, nkp):
+    if mh > 1:
+        return pl.BlockSpec((1, 1, q_tile, nkp),
+                            lambda bi, hi, qi: (bi, hi, qi, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, 1, q_tile, nkp),
+                        lambda bi, hi, qi: (bi, 0, qi, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fused_fwd_pallas(q, k, v, neg_mask, q_tile: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, nq, d = q.shape
+    mh = 1 if neg_mask is None else neg_mask.shape[1]
+    qp, kt, vt, mp = _prep(q, k, v, neg_mask, q_tile)
+    nqp, nkp = qp.shape[2], kt.shape[3]
+
+    out = pl.pallas_call(
+        _fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, nqp, d), q.dtype),
+        grid=(b, h, nqp // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, 1, q_tile, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, nkp), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, nkp), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _mask_spec(pl, pltpu, mh, q_tile, nkp),
+        ],
+        out_specs=pl.BlockSpec((1, 1, q_tile, d),
+                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, kt, vt, mp)
+    return out[:, :, :nq]
+
+
+def _fused_bwd_pallas(q, k, v, neg_mask, g, q_tile: int = 128,
+                      interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    mh = 1 if neg_mask is None else neg_mask.shape[1]
+    qp, kt, vt, mp = _prep(q, k, v, neg_mask, q_tile)
+    gp = _pad_to(g, 2, q_tile)
+    nqp, nkp = qp.shape[2], kt.shape[3]
+
+    spec_q = pl.BlockSpec((1, 1, q_tile, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                          memory_space=pltpu.VMEM)
+    spec_kv = pl.BlockSpec((1, 1, d, nkp), lambda bi, hi, qi: (bi, hi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dq, dkt, dvt = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, h, nqp, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, d, nkp), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, d, nkp), v.dtype)),
+        grid=(b, h, nqp // q_tile),
+        in_specs=[spec_q, spec_kv, spec_kv,
+                  _mask_spec(pl, pltpu, mh, q_tile, nkp), spec_q],
+        out_specs=(spec_q, spec_kv, spec_kv),
+        interpret=interpret,
+    )(qp, kt, vt, mp, gp)
+    return (dq[:, :, :nq],
+            jnp.swapaxes(dkt, 2, 3)[:, :, :nk],
+            jnp.swapaxes(dvt, 2, 3)[:, :, :nk])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused(q, k, v, neg_mask, q_tile):
+    return _fused_fwd_pallas(q, k, v, neg_mask, q_tile)
+
+
+def _fused_fwd(q, k, v, neg_mask, q_tile):
+    return _fused_fwd_pallas(q, k, v, neg_mask, q_tile), (q, k, v, neg_mask)
+
+
+def _fused_bwd(q_tile, res, g):
+    q, k, v, neg_mask = res
+    dq, dk, dv = _fused_bwd_pallas(q, k, v, neg_mask, g, q_tile)
+    return dq, dk, dv, None
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_masked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_mask: Optional[jnp.ndarray] = None,
+    q_tile: int = 128,
+) -> jnp.ndarray:
+    """Masked attention over (B, H, Q, D) x (B, H, K, D) -> (B, H, Q, D).
+
+    q must be pre-scaled (the kernel applies no 1/sqrt(d)).
+    block_mask: optional (B, 1|H, Q, K) bool, True = pair may NOT attend.
+    Rows whose real keys are ALL blocked are unblocked (Mask2Former fix-up).
+
+    Uses the Pallas kernels on TPU; falls back to the XLA composition
+    elsewhere (CPU tests; interpret mode covers the kernels in CI).
+    """
+    if block_mask is not None:
+        all_blocked = jnp.all(block_mask, axis=-1, keepdims=True)
+        effective = block_mask & ~all_blocked
+        neg_mask = jnp.where(effective, jnp.float32(-1e9), jnp.float32(0.0))
+    else:
+        neg_mask = None
+
+    if jax.default_backend() != "tpu":
+        return attention_reference(q, k, v, neg_mask)
+    return _fused(q, k, v, neg_mask, q_tile)

@@ -16,7 +16,9 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .pixel_decoder import MSDeformAttnPixelDecoder, PixelDecoderConfig
+from .fpn import FPNPixelDecoderConfig, build_pixel_decoder
+from .maskformer_decoder import StandardDecoderConfig, StandardTransformerDecoder
+from .pixel_decoder import PixelDecoderConfig
 from .swin import SwinConfig, SwinTransformer
 from .transformer_decoder import (
     MultiScaleMaskedTransformerDecoder,
@@ -39,6 +41,14 @@ class SegmenterConfig:
     decoder: TransformerDecoderConfig = TransformerDecoderConfig()
     freeze_backbone: bool = False
     freeze_pixel_decoder: bool = False
+    # Alternative heads (reference PIXEL_DECODER_NAME / TRANSFORMER_DECODER_NAME
+    # registry dispatch, fpn.py:25-37, maskformer_transformer_decoder.py:25-30).
+    # pixel_decoder_type: "msdeform" (production) | "fpn" | "transformer_fpn"
+    # decoder_type: "multi_scale" (Mask2Former) | "standard" (MaskFormer v1)
+    pixel_decoder_type: str = "msdeform"
+    fpn: FPNPixelDecoderConfig = FPNPixelDecoderConfig()
+    decoder_type: str = "multi_scale"
+    standard_decoder: StandardDecoderConfig = StandardDecoderConfig()
 
     @property
     def uses_part_head(self) -> bool:
@@ -64,21 +74,32 @@ class MaskFormerSegmenter(nn.Module):
             # what DDP-freezing did — and on TPU it also releases all trunk
             # backward activations (the dominant HBM term at 640^2).
             feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
-        mask_features, encoder_feature, ms_feats = MSDeformAttnPixelDecoder(
-            self.cfg.pixel_decoder, name="pixel_decoder"
+        pd_cfg = (self.cfg.pixel_decoder if self.cfg.pixel_decoder_type == "msdeform"
+                  else self.cfg.fpn)
+        mask_features, encoder_feature, ms_feats = build_pixel_decoder(
+            self.cfg.pixel_decoder_type, pd_cfg
         )(feats)
         if self.cfg.freeze_pixel_decoder:
             mask_features = jax.lax.stop_gradient(mask_features)
             ms_feats = [jax.lax.stop_gradient(f) for f in ms_feats]
 
-        decoder_cls = (
-            PartDistillationTransformerDecoder
-            if self.cfg.uses_part_head
-            else MultiScaleMaskedTransformerDecoder
-        )
-        out = decoder_cls(self.cfg.decoder, name="predictor")(
-            ms_feats, mask_features, gt_object_class=gt_object_class
-        )
+        if self.cfg.decoder_type == "standard":
+            # v1 path: queries attend one map — the pixel decoder's transformer
+            # output when present, else the coarsest FPN map
+            # (mask_former_head.py:129-143 TRANSFORMER_IN_FEATURE routing).
+            src = encoder_feature if encoder_feature is not None else ms_feats[0]
+            out = StandardTransformerDecoder(self.cfg.standard_decoder, name="predictor")(
+                src, mask_features
+            )
+        else:
+            decoder_cls = (
+                PartDistillationTransformerDecoder
+                if self.cfg.uses_part_head
+                else MultiScaleMaskedTransformerDecoder
+            )
+            out = decoder_cls(self.cfg.decoder, name="predictor")(
+                ms_feats, mask_features, gt_object_class=gt_object_class
+            )
         out["mask_features"] = mask_features
         out["backbone_features"] = feats
         return out

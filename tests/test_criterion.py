@@ -194,7 +194,7 @@ def test_criterion_deep_supervision_and_grads():
 def test_criterion_psum_normalization():
     """num_masks normalization under shard_map matches the global compute."""
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     outputs, targets = make_case(b=8, q=6, t=3, perfect=False, seed=5)
     cfg = CriterionConfig(num_classes=2, num_points=64, deep_supervision=False,

@@ -66,7 +66,11 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16):
     batch = {
         "image": jnp.asarray(rng.randint(0, 255, (batch_size, image_size, image_size, 3)),
                              jnp.float32),
-        "masks": jnp.asarray(rng.rand(batch_size, t, image_size, image_size) < 0.2),
+        # f32, not bool: bool (pred) inputs get a packed T(8,128)(4,1) layout
+        # whose conversion copy costs ~1.9s/step on TPU (profiled) — the
+        # criterion casts to f32 anyway.
+        "masks": jnp.asarray((rng.rand(batch_size, t, image_size, image_size) < 0.2)
+                             .astype(np.float32)),
         "valid": jnp.asarray(np.tile(np.arange(t) < 4, (batch_size, 1))),
     }
 

@@ -45,7 +45,15 @@ def _collate(examples: List[dict], target: int) -> Dict[str, np.ndarray]:
         if isinstance(vals[0], str):
             batch[key] = np.asarray(vals, dtype=object)
         else:
-            batch[key] = np.stack([np.asarray(v) for v in vals])
+            arr = np.stack([np.asarray(v) for v in vals])
+            if arr.dtype == bool and arr.ndim >= 3:
+                # Mask stacks go to the device as f32: bool (pred) inputs get
+                # a packed T(8,128)(4,1) TPU layout whose conversion copy
+                # dominates the train step (profiled at ~1.9s for a
+                # (8,8,640,640) batch); the losses cast to f32 anyway. Small
+                # bool vectors (valid flags) stay bool.
+                arr = arr.astype(np.float32)
+            batch[key] = arr
     batch["batch_valid"] = np.arange(target) < n
     return batch
 

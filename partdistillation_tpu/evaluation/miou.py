@@ -34,10 +34,12 @@ __all__ = [
 
 
 def binary_masks_to_semseg(masks: np.ndarray, classes: np.ndarray, fill: int) -> np.ndarray:
-    """(K, H, W) bool + (K,) labels -> (H, W) label map; later masks overwrite."""
+    """(K, H, W) bool/f32 + (K,) labels -> (H, W) label map; later masks
+    overwrite. f32 mask stacks (the loader's device-friendly encoding) are
+    thresholded at 0.5."""
     semseg = np.full(masks.shape[1:], fill, np.int64)
     for i in range(len(masks)):
-        semseg[masks[i]] = classes[i]
+        semseg[np.asarray(masks[i]) > 0.5] = classes[i]
     return semseg
 
 

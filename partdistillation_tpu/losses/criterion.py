@@ -27,8 +27,8 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.sampling import point_sample
-from .matcher import MatcherConfig, hungarian_match
+from ..ops.sampling import grid_point_sample, point_sample
+from .matcher import MatcherConfig, _grid_axes, hungarian_match
 
 __all__ = ["CriterionConfig", "set_criterion"]
 
@@ -45,35 +45,100 @@ class CriterionConfig:
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
     deep_supervision: bool = True
+    # "grid": gather-free TPU-native point selection. With ratio==0 this is a
+    # jittered regular sqrt(P)^2 grid (an unbiased, lower-variance estimator of
+    # the same expected loss as iid uniform points); with ratio>0 the losses
+    # run dense on the prediction's native grid with importance *weights*: the
+    # ~ratio*P most uncertain pixels (sort-free threshold bisection) get
+    # weight 1 and every pixel gets the uniform fraction's expected weight — a
+    # Rao-Blackwellized version of PointRend's sampled estimator.
+    # "random": exact reference semantics (criterion.py:176-196) via gathers.
+    point_mode: str = "grid"
 
 
 def _uncertainty_points(mask_logits: jnp.ndarray, key: jax.Array, cfg: CriterionConfig):
     """Per-mask point coords (num_points, 2): importance + random mix."""
     k1, k2 = jax.random.split(key)
-    n_over = int(cfg.num_points * cfg.oversample_ratio)
     n_imp = int(cfg.importance_sample_ratio * cfg.num_points)
     n_rand = cfg.num_points - n_imp
-
+    rand = jax.random.uniform(k2, (n_rand, 2))
+    if n_imp == 0:
+        return rand
+    n_over = int(cfg.num_points * cfg.oversample_ratio)
     pts = jax.random.uniform(k1, (n_over, 2))
     vals = point_sample(mask_logits[..., None], pts)[:, 0]
     uncertainty = -jnp.abs(vals)
     _, idx = jax.lax.top_k(uncertainty, n_imp)
     imp = jnp.take(pts, idx, axis=0)
-    rand = jax.random.uniform(k2, (n_rand, 2))
     return jnp.concatenate([imp, rand], axis=0)
 
 
-def point_losses(logits: jnp.ndarray, labels: jnp.ndarray):
-    """Per-mask (sigmoid-CE mean over points, dice over points) — the loss
-    formulas of reference criterion.py:25-74 on already-sampled point sets."""
-    ce = jnp.mean(labels * jax.nn.softplus(-logits) + (1.0 - labels) * jax.nn.softplus(logits))
+def point_losses(logits: jnp.ndarray, labels: jnp.ndarray, weights=None):
+    """Per-mask (sigmoid-CE weighted-mean over points, dice over points) — the
+    loss formulas of reference criterion.py:25-74 on sampled/weighted points."""
+    ce_pp = labels * jax.nn.softplus(-logits) + (1.0 - labels) * jax.nn.softplus(logits)
     probs = jax.nn.sigmoid(logits)
-    dice = 1.0 - (2.0 * jnp.sum(probs * labels) + 1.0) / (jnp.sum(probs) + jnp.sum(labels) + 1.0)
+    if weights is None:
+        ce = jnp.mean(ce_pp)
+        inter, psum, tsum = jnp.sum(probs * labels), jnp.sum(probs), jnp.sum(labels)
+    else:
+        ce = jnp.sum(weights * ce_pp) / jnp.maximum(jnp.sum(weights), 1e-6)
+        inter = jnp.sum(weights * probs * labels)
+        psum = jnp.sum(weights * probs)
+        tsum = jnp.sum(weights * labels)
+    dice = 1.0 - (2.0 * inter + 1.0) / (psum + tsum + 1.0)
     return ce, dice
 
 
+def _importance_weights(uncertainty: jnp.ndarray, k: int, uniform_w: float, iters: int = 12):
+    """Sort-free top-k selection mask: bisect a threshold t so that
+    ~k entries with uncertainty >= t get weight 1; all entries additionally
+    carry `uniform_w` (the uniform fraction's expected per-point weight)."""
+    lo = jnp.min(uncertainty)
+    hi = jnp.max(uncertainty)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        count = jnp.sum(uncertainty >= mid)
+        # too many selected -> raise threshold
+        return jnp.where(count > k, mid, lo), jnp.where(count > k, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    sel = (uncertainty >= 0.5 * (lo + hi)).astype(jnp.float32)
+    return sel + uniform_w
+
+
 def _loss_masks_one(pred_mask, tgt_mask, key, cfg: CriterionConfig):
-    """Per matched pair: point selection + point losses."""
+    """Per matched pair: point selection + point losses.
+
+    pred_mask: (h, w) logits at the prediction's native (stride-4) resolution;
+    tgt_mask: (H, W) binary at image resolution.
+    """
+    if cfg.point_mode == "grid":
+        n_imp = int(cfg.importance_sample_ratio * cfg.num_points)
+        if n_imp == 0:
+            # jittered regular grid, fully separable sampling (no gathers)
+            ys, xs = _grid_axes(key, cfg.num_points)
+            logits = grid_point_sample(pred_mask[..., None], ys, xs)[..., 0].reshape(-1)
+            labels = jax.lax.stop_gradient(
+                grid_point_sample(tgt_mask[..., None].astype(jnp.float32), ys, xs)[..., 0]
+            ).reshape(-1)
+            return point_losses(logits, labels)
+        # dense importance weighting on the prediction's own pixel grid; the
+        # target is brought onto that grid by one separable resample.
+        h, w = pred_mask.shape
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        labels = jax.lax.stop_gradient(
+            grid_point_sample(tgt_mask[..., None].astype(jnp.float32), ys, xs)[..., 0]
+        ).reshape(-1)
+        logits = pred_mask.reshape(-1)
+        uncertainty = jax.lax.stop_gradient(-jnp.abs(logits))
+        n_rand = cfg.num_points - n_imp
+        weights = _importance_weights(uncertainty, n_imp, uniform_w=n_rand / (h * w))
+        return point_losses(logits, labels, weights)
+
     coords = jax.lax.stop_gradient(_uncertainty_points(pred_mask, key, cfg))
     logits = point_sample(pred_mask[..., None], coords)[:, 0]
     labels = jax.lax.stop_gradient(

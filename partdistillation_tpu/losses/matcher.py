@@ -5,7 +5,10 @@ Behavioral parity with the reference HungarianMatcher
   * class cost = -prob[target] (sigmoid when the head has 1 logit, softmax
     otherwise — matcher.py:109-112)
   * mask cost = per-point sigmoid CE averaged over a single shared set of
-    `num_points` uniform random points per image (matcher.py:128-140)
+    `num_points` points per image (matcher.py:128-140) — iid uniform in
+    point_mode="random" (exact reference semantics), or a jittered regular
+    grid in point_mode="grid" (default: same point count, equal-or-lower
+    estimator variance, and gather-free separable sampling on the MXU)
   * dice cost with +1/+1 smoothing (matcher.py:19-34)
   * exact LSAP — here solved on device (losses/lsap.py) instead of a per-image
     scipy CPU round trip.
@@ -18,13 +21,31 @@ optimum (constant rows are assignment-indifferent).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.sampling import point_sample
+from ..ops.sampling import grid_point_sample, point_sample
 from .lsap import solve_lsap
+
+
+def _grid_axes(key: jax.Array, num_points: int):
+    """One jittered regular (gy, gx) grid covering >= num_points points.
+
+    gy*gx is the smallest grid of near-square aspect with at least num_points
+    cells (exactly sqrt(P)^2 when P is square, e.g. the production 12544=112^2);
+    a shared random offset per call keeps the estimator unbiased over steps.
+    """
+    gy = math.isqrt(num_points)
+    if gy * gy < num_points:
+        gy += 1
+    gx = -(-num_points // gy)
+    u = jax.random.uniform(key, (2,))
+    ys = (jnp.arange(gy, dtype=jnp.float32) + u[0]) / gy
+    xs = (jnp.arange(gx, dtype=jnp.float32) + u[1]) / gx
+    return ys, xs
 
 __all__ = ["MatcherConfig", "hungarian_match", "batch_dice_cost", "batch_sigmoid_ce_cost"]
 
@@ -35,6 +56,12 @@ class MatcherConfig:
     cost_mask: float = 5.0
     cost_dice: float = 5.0
     num_points: int = 12544
+    # "grid": jittered regular sqrt(P) x sqrt(P) grid, sampled with the
+    # separable gather-free MXU path (ops/sampling.grid_point_sample) — an
+    # equal-coverage Monte-Carlo estimator of the same point costs, TPU-native.
+    # "random": iid uniform points, exact reference semantics
+    # (matcher.py:128-140) via per-point gathers.
+    point_mode: str = "grid"
 
 
 def batch_dice_cost(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -61,7 +88,7 @@ def _match_one(
     tgt_labels: jnp.ndarray,  # (T,)
     tgt_masks: jnp.ndarray,  # (T, H, W) binary
     tgt_valid: jnp.ndarray,  # (T,) bool
-    points: jnp.ndarray,  # (P, 2) shared random points in [0, 1]
+    key: jax.Array,  # per-image PRNG key for the shared point set
     cfg: MatcherConfig,
 ) -> jnp.ndarray:
     q = pred_logits.shape[0]
@@ -77,8 +104,19 @@ def _match_one(
         axis=1,
     )  # (Q, T)
 
-    pred_pts = point_sample(pred_masks.transpose(1, 2, 0), points).T.astype(jnp.float32)  # (Q, P)
-    tgt_pts = point_sample(tgt_masks.transpose(1, 2, 0).astype(jnp.float32), points).T  # (T, P)
+    if cfg.point_mode == "grid":
+        ys, xs = _grid_axes(key, cfg.num_points)
+        pred_pts = grid_point_sample(pred_masks.transpose(1, 2, 0), ys, xs)
+        pred_pts = pred_pts.reshape(-1, q).T.astype(jnp.float32)  # (Q, P)
+        tgt_pts = grid_point_sample(
+            tgt_masks.transpose(1, 2, 0).astype(jnp.float32), ys, xs
+        ).reshape(-1, t).T  # (T, P)
+    else:
+        points = jax.random.uniform(key, (cfg.num_points, 2))
+        pred_pts = point_sample(
+            pred_masks.transpose(1, 2, 0), points).T.astype(jnp.float32)  # (Q, P)
+        tgt_pts = point_sample(
+            tgt_masks.transpose(1, 2, 0).astype(jnp.float32), points).T  # (T, P)
 
     cost = (
         cfg.cost_mask * batch_sigmoid_ce_cost(pred_pts, tgt_pts)
@@ -109,7 +147,7 @@ def hungarian_match(
       get an arbitrary spare query; mask with targets["valid"]).
     """
     b = outputs["pred_logits"].shape[0]
-    points = jax.random.uniform(key, (b, cfg.num_points, 2))
+    keys = jax.random.split(key, b)
     match_fn = lambda *args: _match_one(*args, cfg)  # cfg is static
     return jax.vmap(match_fn)(
         outputs["pred_logits"],
@@ -117,5 +155,5 @@ def hungarian_match(
         targets["labels"],
         targets["masks"],
         targets["valid"],
-        points,
+        keys,
     )

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.instance_post import (
+    as_bool_mask,
     conditional_ratio_filter,
     conditional_score_filter,
     match_gt_top1,
@@ -120,7 +121,8 @@ def make_cluster_fn(cfg: PartRankingConfig):
         feats = _normed(outputs["decoder_output"], cfg.proposal_feature_norm)
         masks, scores, pfeats, valid = jax.vmap(cluster_one)(
             outputs["pred_logits"], outputs["pred_masks"], feats,
-            batch["masks"], batch["mask_valid"], batch["object_mask"],
+            as_bool_mask(batch["masks"]), batch["mask_valid"],
+            as_bool_mask(batch["object_mask"]),
         )
         return {"pred_masks": masks, "scores": scores, "feats": pfeats, "valid": valid}
 
@@ -219,8 +221,9 @@ def make_label_fn(cfg: PartRankingConfig, mode: RankingMode = RankingMode.SAVE,
             )
         )(
             outputs["pred_logits"], outputs["pred_masks"], feats,
-            batch["object_label"], batch["masks"], batch["mask_labels"],
-            batch["mask_valid"], batch["object_mask"],
+            batch["object_label"], as_bool_mask(batch["masks"]),
+            batch["mask_labels"], batch["mask_valid"],
+            as_bool_mask(batch["object_mask"]),
         )
 
     return fn

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ...losses.criterion import CriterionConfig, set_criterion
 from ...ops.instance_post import (
+    as_bool_mask,
     conditional_ratio_filter,
     conditional_score_filter,
     match_gt_top1,
@@ -133,10 +134,10 @@ def make_inference_fn(cfg: ProposalModelConfig):
         return jax.vmap(infer_one)(
             outputs["pred_logits"],
             outputs["pred_masks"],
-            batch["part_masks"],
+            as_bool_mask(batch["part_masks"]),
             batch["part_labels"],
             batch["part_valid"],
-            batch["object_masks"],
+            as_bool_mask(batch["object_masks"]),
             batch["object_valid"],
         )
 

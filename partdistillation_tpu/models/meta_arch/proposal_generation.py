@@ -99,7 +99,9 @@ def make_generation_fn(cfg: ProposalGenerationConfig):
         hh, ww = batch["image"].shape[1:3]
         feat_hi = jax.image.resize(feat_lo, (b, hh, ww, d), method="linear")
 
-        obj_hi = batch["object_mask"]
+        from ...ops.instance_post import as_bool_mask
+
+        obj_hi = as_bool_mask(batch["object_mask"])
         obj_lo = jax.image.resize(
             obj_hi.astype(jnp.float32), (b, h, w), method="nearest"
         ) > 0.5

@@ -171,9 +171,12 @@ def unary_from_masks(masks: jnp.ndarray, valid: jnp.ndarray,
     probability `gt_prob`, the rest uniform (continuously_postprocess_dcrf.py
     :144-153 with pydensecrf unary_from_labels semantics).
 
-    masks: (T, H, W) bool, valid: (T,) bool. Label t occupies channel t+1.
+    masks: (T, H, W) bool (or f32 from the loader, thresholded at 0.5),
+    valid: (T,) bool. Label t occupies channel t+1.
     """
     t, h, w = masks.shape
+    if masks.dtype != jnp.bool_:
+        masks = masks > 0.5
     m = masks & valid[:, None, None]
     # later masks overwrite earlier ones, background where none
     label = jnp.zeros((h, w), jnp.int32)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "as_bool_mask",
     "unique_assignment",
     "conditional_ratio_filter",
     "conditional_score_filter",
@@ -30,6 +31,14 @@ __all__ = [
     "match_gt_top1",
     "mask_iou_matrix",
 ]
+
+
+def as_bool_mask(m: jnp.ndarray) -> jnp.ndarray:
+    """Normalize a mask array to bool. Loader batches carry mask stacks as
+    f32 (bool device inputs take a packed TPU layout whose conversion copy
+    dominates step time — data/loader.py), so every jitted consumer with
+    boolean semantics thresholds at entry; bool passes through unchanged."""
+    return m if m.dtype == jnp.bool_ else m > 0.5
 
 
 def unique_assignment(mask_logits: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray):

@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bilinear_sample", "grid_sample", "point_sample"]
+__all__ = ["bilinear_sample", "grid_sample", "point_sample",
+           "separable_interp_weights", "grid_point_sample"]
 
 
 def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -90,3 +91,49 @@ def point_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
       (..., C).
     """
     return grid_sample(img, 2.0 * coords - 1.0)
+
+
+# ------------------------------------------------------- separable (MXU) path
+
+
+def separable_interp_weights(coords_1d: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Dense bilinear interpolation matrix for one axis.
+
+    Args:
+      coords_1d: (G,) normalized [0, 1] coordinates (align_corners=False).
+      size: source extent S.
+
+    Returns:
+      (G, S) matrix W with at most two non-zeros per row such that
+      ``W @ v`` equals 1-D linear interpolation of ``v`` at the coords, with
+      zero padding outside [0, S-1] — the hat-function formulation
+      ``w[g, s] = max(0, 1 - |p_g - s|)``.
+    """
+    p = coords_1d * size - 0.5  # pixel-space positions
+    s = jnp.arange(size, dtype=p.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(p[:, None] - s[None, :]))
+
+
+def grid_point_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling on a separable coordinate grid — gather-free.
+
+    Exactly equals ``point_sample(img, outer_product_coords)`` but runs as two
+    small dense matmuls (MXU work) instead of per-point gathers; on TPU the
+    gather formulation is bandwidth-pathological for few-channel images (each
+    scalar tap occupies a full lane transaction), while the interp matrices
+    here are tiny ((G, S) with 2 non-zeros per row).
+
+    Args:
+      img: (H, W, C).
+      ys: (Gy,) normalized [0, 1] y coords.
+      xs: (Gx,) normalized [0, 1] x coords.
+
+    Returns:
+      (Gy, Gx, C).
+    """
+    h, w, _ = img.shape
+    wy = separable_interp_weights(ys, h).astype(img.dtype)  # (Gy, H)
+    wx = separable_interp_weights(xs, w).astype(img.dtype)  # (Gx, W)
+    tmp = jnp.einsum("gh,hwc->gwc", wy, img, preferred_element_type=jnp.float32)
+    return jnp.einsum("kw,gwc->gkc", wx, tmp.astype(img.dtype),
+                      preferred_element_type=jnp.float32).astype(img.dtype)

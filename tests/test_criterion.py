@@ -1,5 +1,7 @@
 """Matcher + SetCriterion unit tests on constructed cases."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -127,7 +129,8 @@ def test_criterion_uniform_masks_large():
     }
     cfg = CriterionConfig(num_classes=1, num_points=2048, deep_supervision=False,
                           importance_sample_ratio=0.0,
-                          matcher=MatcherConfig(num_points=64))
+                          matcher=MatcherConfig(num_points=64),
+                          point_mode="random")
     total, losses = set_criterion(outputs, targets, jax.random.PRNGKey(0), cfg)
 
     # ~1.5% of points touch the half-pixel edge bleed zone -> loose tolerance
@@ -139,6 +142,15 @@ def test_criterion_uniform_masks_large():
     nll = -np.log(np.exp(5) / (np.exp(5) + 1))
     want = (1.0 * nll + 0.1 * nll) / 1.1
     np.testing.assert_allclose(losses["loss_ce"], want, rtol=1e-5)
+
+    # grid mode: same estimator in expectation — average over jitter keys
+    # (a single draw can put a whole correlated grid row in the edge zone)
+    cfg_g = dataclasses.replace(cfg, point_mode="grid",
+                                matcher=dataclasses.replace(cfg.matcher,
+                                                            point_mode="grid"))
+    vals = [float(set_criterion(outputs, targets, jax.random.PRNGKey(s), cfg_g)[1]["loss_mask"])
+            for s in range(6)]
+    np.testing.assert_allclose(np.mean(vals), np.log(1 + np.exp(-logit)), rtol=0.35)
 
 
 def test_criterion_permutation_and_padding_invariance():

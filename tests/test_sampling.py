@@ -113,3 +113,100 @@ def test_ms_deform_attn_grads_flow():
         vm = value.at[idx].add(-eps)
         num = (float(f(vp, loc, w)) - float(f(vm, loc, w))) / (2 * eps)
         np.testing.assert_allclose(g_val[idx], num, rtol=1e-2, atol=1e-3)
+
+
+def test_grid_point_sample_matches_gather_path():
+    """Separable MXU sampling == point_sample at the same outer-product coords."""
+    from partdistillation_tpu.ops.sampling import grid_point_sample, point_sample
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(9, 13, 5).astype(np.float32))
+    ys = jnp.asarray(rng.rand(6).astype(np.float32))
+    xs = jnp.asarray(rng.rand(7).astype(np.float32))
+
+    out = grid_point_sample(img, ys, xs)  # (6, 7, 5)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    coords = jnp.stack([xx, yy], axis=-1)  # (6, 7, 2) as (x, y)
+    ref = point_sample(img, coords)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_grid_point_sample_edge_zero_padding():
+    """Coords in the half-pixel border interpolate against zero padding."""
+    from partdistillation_tpu.ops.sampling import grid_point_sample
+
+    img = jnp.ones((4, 4, 1), jnp.float32)
+    # y = 0 -> pixel coord -0.5 -> weight 0.5 on row 0, 0.5 on padding
+    out = grid_point_sample(img, jnp.asarray([0.0]), jnp.asarray([0.5]))
+    np.testing.assert_allclose(float(out[0, 0, 0]), 0.5, atol=1e-6)
+
+
+def test_importance_weights_selects_topk():
+    from partdistillation_tpu.losses.criterion import _importance_weights
+
+    rng = np.random.RandomState(0)
+    unc = jnp.asarray(rng.randn(4096).astype(np.float32))
+    k = 1024
+    w = np.asarray(_importance_weights(unc, k, uniform_w=0.0))
+    selected = np.where(w > 0.5)[0]
+    # bisection threshold: within ~1% of exactly k selected
+    assert abs(len(selected) - k) <= k * 0.02 + 2
+    # the selected set must be the top-uncertainty entries
+    thresh = np.sort(np.asarray(unc))[-len(selected)]
+    assert (np.asarray(unc)[selected] >= thresh - 1e-6).all()
+
+
+def test_criterion_grid_matches_random_statistically():
+    """grid and random point modes estimate the same loss (same inputs)."""
+    import dataclasses
+
+    from partdistillation_tpu.losses.criterion import CriterionConfig, _loss_masks_one
+    from partdistillation_tpu.losses.matcher import MatcherConfig
+
+    rng = np.random.RandomState(1)
+    pred = jnp.asarray(rng.randn(32, 32).astype(np.float32) * 2)
+    tgt = jnp.asarray((rng.rand(128, 128) < 0.4).astype(np.float32))
+    cfg = CriterionConfig(num_points=4096, importance_sample_ratio=0.0,
+                          matcher=MatcherConfig(num_points=4096))
+
+    def mean_over_keys(mode, n=6):
+        c = dataclasses.replace(cfg, point_mode=mode)
+        ces, dices = [], []
+        for s in range(n):
+            ce, dice = _loss_masks_one(pred, tgt, jax.random.PRNGKey(s), c)
+            ces.append(float(ce)); dices.append(float(dice))
+        return np.mean(ces), np.mean(dices)
+
+    ce_g, dice_g = mean_over_keys("grid")
+    ce_r, dice_r = mean_over_keys("random")
+    np.testing.assert_allclose(ce_g, ce_r, rtol=0.05)
+    np.testing.assert_allclose(dice_g, dice_r, atol=0.03)
+
+
+def test_ms_deform_attn_onehot_matches_take():
+    """The MXU one-hot formulation must equal the gather formulation."""
+    shapes = ((6, 5), (3, 3))
+    b, m, d, lq, p = 2, 2, 4, 7, 3
+    s = sum(h * w for h, w in shapes)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    value = jax.random.normal(ks[0], (b, s, m, d))
+    loc = jax.random.uniform(ks[1], (b, lq, m, 2, p, 2), minval=-0.1, maxval=1.1)
+    w = jax.nn.softmax(
+        jax.random.normal(ks[2], (b, lq, m, 2, p)).reshape(b, lq, m, -1)
+    ).reshape(b, lq, m, 2, p)
+
+    out_take = ms_deform_attn(value, shapes, loc, w, mode="take")
+    out_oh = ms_deform_attn(value, shapes, loc, w, mode="onehot_mxu")
+    np.testing.assert_allclose(np.asarray(out_take), np.asarray(out_oh),
+                               atol=1e-5, rtol=1e-5)
+
+    # gradients agree too
+    def loss(fn_mode):
+        return lambda v, l, ww: jnp.sum(
+            ms_deform_attn(v, shapes, l, ww, mode=fn_mode) ** 2)
+
+    g1 = jax.grad(loss("take"), argnums=(0, 1, 2))(value, loc, w)
+    g2 = jax.grad(loss("onehot_mxu"), argnums=(0, 1, 2))(value, loc, w)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4)

@@ -294,8 +294,10 @@ def cmd_dcrf(args):
 
 
 def _train_loop(cfg, trainer, loader, stage: str):
-    import jax
+    from .engine.metrics import MetricLogger
 
+    mlog = MetricLogger(os.path.join(cfg.checkpoint_dir, "logs", stage),
+                        run_name=stage)
     t0 = time.perf_counter()
     n_img = 0
     for batch in loader:
@@ -309,12 +311,14 @@ def _train_loop(cfg, trainer, loader, stage: str):
             logger.info("%s step %d: loss=%.4f grad=%.3f %.2f img/s",
                         stage, step, m.get("total_loss", float("nan")),
                         m.get("grad_norm", float("nan")), ips)
+            mlog.log({**m, "images_per_sec": ips}, step)
         if trainer._ckpt is not None and step % cfg.checkpoint_every == 0:
             trainer.save()
         if step >= cfg.max_iters:
             break
     if trainer._ckpt is not None:
         trainer.save()
+    mlog.close()
     return {"steps": trainer.step,
             "images_per_sec": round(n_img / max(time.perf_counter() - t0, 1e-9), 3)}
 
@@ -605,6 +609,9 @@ def _rank_match_eval(cfg, args, rank_cfg, params, centroid_path, phases, num_obj
                               batch["gt_part_masks"][bv], batch["gt_part_labels"][bv],
                               batch["gt_valid"][bv], batch["object_class"][bv])
         metrics = evaluator.evaluate()
+        from .engine.metrics import print_csv_format
+
+        print_csv_format(metrics, task="rank-eval")
         print(json.dumps({"stage": "rank-eval", **metrics}))
 
 
@@ -713,7 +720,11 @@ def cmd_eval_supervised(args):
         evaluator.process({k: np.asarray(v)[bv] for k, v in out.items()},
                           batch["gt_part_masks"][bv], batch["gt_part_labels"][bv],
                           batch["gt_valid"][bv], batch["object_class"][bv])
-    print(json.dumps({"stage": "eval-supervised", **evaluator.evaluate()}))
+    from .engine.metrics import print_csv_format
+
+    metrics = evaluator.evaluate()
+    print_csv_format(metrics, task="eval-supervised")
+    print(json.dumps({"stage": "eval-supervised", **metrics}))
 
 
 # ---------------------------------------------------------------- eval
@@ -767,7 +778,11 @@ def cmd_eval_pixel_grouping(args):
              "valid": np.asarray(out["part_valid"])[bv]},
             batch["gt_part_masks"][bv], batch["gt_valid"][bv])
         n += 1
-    print(json.dumps({"stage": "eval-pixel-grouping", **evaluator.evaluate()}))
+    from .engine.metrics import print_csv_format
+
+    metrics = evaluator.evaluate()
+    print_csv_format(metrics, task="eval-pixel-grouping")
+    print(json.dumps({"stage": "eval-pixel-grouping", **metrics}))
 
 
 # ---------------------------------------------------------------- viz

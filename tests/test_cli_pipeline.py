@@ -140,3 +140,30 @@ def test_stage5_train_distillation(pipeline_env, capsys):
                 "--num-parts", "3", "--num-object-classes", "4",
                 "--set", *ov], capsys)
     assert res["steps"] >= 2
+
+
+def test_config_presets_load():
+    """Every shipped YAML preset parses into a valid PipelineConfig with
+    _BASE_ inheritance resolved."""
+    import glob
+
+    from partdistillation_tpu.config import PipelineConfig, load_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(cli.__file__)))
+    presets = glob.glob(os.path.join(repo, "configs", "**", "*.yaml"), recursive=True)
+    assert len(presets) >= 7
+    for p in presets:
+        cfg = load_config(PipelineConfig, p)
+        assert cfg.data.image_size in (64, 640)
+        assert cfg.data.batch_size >= 1
+    tiny = load_config(PipelineConfig,
+                       os.path.join(repo, "configs", "debug", "tiny.yaml"))
+    assert tiny.max_iters == 2 and tiny.data.debug_limit == 16
+    stage3 = load_config(PipelineConfig,
+                         os.path.join(repo, "configs", "proposal_learning", "swinL_640.yaml"))
+    assert stage3.max_iters == 50000
+    # overlays win last
+    over = load_config(PipelineConfig,
+                       os.path.join(repo, "configs", "proposal_learning", "swinL_640.yaml"),
+                       ["max_iters=7"])
+    assert over.max_iters == 7

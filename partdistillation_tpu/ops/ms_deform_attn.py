@@ -171,7 +171,11 @@ def _ms_deform_attn_onehot(
         # pixel grid: W[n, s] = relu(1-|sx - x_n|) * relu(1-|sy - y_n|).
         # This equals the 4-corner bilinear one-hot sum exactly (zero padding
         # included: out-of-range neighbors simply have no grid column) but
-        # builds in one VPU pass instead of four one-hot passes.
+        # builds in one VPU pass instead of four one-hot passes. (Building
+        # thin (N,H)x(N,W) factors and outer-product-expanding is NOT viable
+        # in XLA — the reshape between broadcast-multiply and dot blocks
+        # fusion and materializes the 27 GB operand; ops/msda_pallas.py is
+        # the tiled kernel for that factorization.)
         colx = (jnp.arange(hw, dtype=jnp.float32) % w)
         coly = jnp.floor(jnp.arange(hw, dtype=jnp.float32) / w)
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(xy[..., 0:1] - colx))

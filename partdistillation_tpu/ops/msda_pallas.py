@@ -1,0 +1,162 @@
+"""Pallas TPU kernel for deformable-attention bilinear sampling.
+
+The XLA formulation (ops/ms_deform_attn.py onehot_mxu) contracts a dense
+(taps, H*W) hat-product matrix on the MXU; its cost is dominated by building
+that matrix (taps x H*W VPU work per level). This kernel exploits the
+separability of bilinear interpolation to shrink the build to two thin hat
+matrices and keep every intermediate in VMEM:
+
+    out[n, :] = sum_y hy[n, y] * ( hx[n, :] @ V[:, y, :] )
+
+per point-tile of TN taps:
+    hx: (TN, W) hat weights (2 non-zeros/row)     — VPU build, W wide not H*W
+    R = hx @ V'                                    — MXU, V' = (W, H*D)
+    out[n, d] = sum_y hy[n, y] * R[n, y*D+d]       — VPU, unrolled over H
+
+VMEM residency: the level's values V' (W, H*D) load once per (batch*head) and
+stay resident across all point tiles (the tile grid's index_map is constant in
+the tile coordinate); R (TN, H*D) and the hat tiles are scratch-free locals.
+
+Gradients: the kernel is wrapped in jax.custom_vjp whose backward runs the
+XLA hat-product composition's VJP — both compute the identical function
+(tests/test_msda_pallas.py), so the pairing is exact. Stage-3/5 training
+freezes the deformable encoder (SURVEY.md §6), so the forward kernel is the
+hot path and the backward rarely runs.
+
+Reference parity: ms_deformable_im2col_gpu_kernel
+(ops/src/cuda/ms_deform_im2col_cuda.cuh:243) is the CUDA analog of this
+forward; the six col2im backward variants (:307-851) correspond to the VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["sample_level"]
+
+_TN = 256  # taps per tile; R scratch = TN * H*D * 4B
+
+
+def _kernel(x_ref, y_ref, w_ref, v_ref, sel_ref, o_ref, *, h: int, w: int,
+            tn: int, chunk: int):
+    d = v_ref.shape[-1] // h
+    c = pl.program_id(1)
+    dtype = v_ref.dtype
+
+    def tile(i, _):
+        start = c * chunk + i * tn
+        xs = x_ref[0, 0, pl.ds(start, tn)]  # (TN,)
+        ys = y_ref[0, 0, pl.ds(start, tn)]
+        ws = w_ref[0, 0, pl.ds(start, tn)]
+
+        colw = jax.lax.broadcasted_iota(jnp.int32, (tn, w), 1).astype(jnp.float32)
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - colw))  # (TN, W)
+        # hy broadcast to the (H*D) layout directly: column j covers y = j // d
+        colh = (jax.lax.broadcasted_iota(jnp.int32, (tn, h * d), 1) // d).astype(
+            jnp.float32)
+        hyb = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - colh))  # (TN, H*D)
+
+        r = jax.lax.dot_general(
+            hx.astype(dtype), v_ref[0],  # (TN, W) @ (W, H*D)
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TN, H*D)
+        r = (r * hyb * ws[:, None]).astype(dtype)
+        # sum over y groups: (TN, H*D) @ (H*D, D) 0/1 selection matrix
+        acc = jax.lax.dot_general(
+            r, sel_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TN, D)
+        o_ref[0, pl.ds(i * tn, tn), :] = acc.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // tn, tile, 0, unroll=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sample_level(v_whd, x, y, attw, h: int, w: int):
+    """Weighted bilinear sampling of one level for all (batch*head) slices.
+
+    Args:
+      v_whd: (BM, W, H*D) values — x-major-transposed level image, bf16/f32.
+      x, y: (BM, N) pixel-space fractional coords (align_corners=False).
+      attw: (BM, N) folded attention weights.
+      h, w: static level geometry.
+
+    Returns:
+      (BM, N, D) sampled values, dtype of v_whd.
+    """
+    return _forward(v_whd, x, y, attw, h, w)
+
+
+def _forward(v_whd, x, y, attw, h, w):
+    bm, n = x.shape
+    d = v_whd.shape[-1] // h
+    tn = _TN
+    n_chunks = 8
+    chunk = -(-n // (tn * n_chunks)) * tn
+    n_pad = chunk * n_chunks
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n))
+        # padded taps sample at (-2,-2): hats are zero there -> zero output
+        x = jnp.pad(x, pad, constant_values=-2.0)
+        y = jnp.pad(y, pad, constant_values=-2.0)
+        attw = jnp.pad(attw, pad)
+
+    # 0/1 selection matrix summing the (y, d) layout over y: sel[y*d+i, j]=[i==j]
+    sel = jnp.tile(jnp.eye(d, dtype=v_whd.dtype), (h, 1))  # (H*D, D)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, h=h, w=w, tn=tn, chunk=chunk),
+        grid=(bm, n_chunks),
+        in_specs=[
+            # coords/weights + values: constant index over the chunk axis —
+            # they load once per bm and stay VMEM-resident across chunks
+            pl.BlockSpec((1, 1, n_pad), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, h * d), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h * d, d), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, d), lambda b, c: (b, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, n_pad, d), v_whd.dtype),
+        interpret=jax.default_backend() != "tpu",  # CPU CI runs interpreted
+    )(x[:, None, :], y[:, None, :], attw[:, None, :], v_whd, sel)
+    return out[:, :n]
+
+
+def _xla_reference(v_whd, x, y, attw, h, w):
+    """The identical function as XLA ops (for the VJP): dense hat product."""
+    bm, n = x.shape
+    d = v_whd.shape[-1] // h
+    hw = h * w
+    colx = jnp.arange(hw, dtype=jnp.float32) % w
+    coly = jnp.floor(jnp.arange(hw, dtype=jnp.float32) / w)
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - colx))
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - coly))
+    wm = (hx * hy).astype(v_whd.dtype)  # (BM, N, HW)
+    # v_whd (BM, W, H*D) -> (BM, HW(y-major), D)
+    v = v_whd.reshape(bm, w, h, d).transpose(0, 2, 1, 3).reshape(bm, hw, d)
+    out = jnp.einsum("bns,bsd->bnd", wm, v, preferred_element_type=jnp.float32)
+    return (out * attw[..., None]).astype(v_whd.dtype)
+
+
+def _fwd(v_whd, x, y, attw, h, w):
+    return _forward(v_whd, x, y, attw, h, w), (v_whd, x, y, attw)
+
+
+def _bwd(h, w, res, g):
+    v_whd, x, y, attw = res
+    _, vjp = jax.vjp(lambda *a: _xla_reference(*a, h, w), v_whd, x, y, attw)
+    return vjp(g)
+
+
+sample_level.defvjp(_fwd, _bwd)

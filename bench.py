@@ -91,7 +91,9 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16):
 
 
 def main():
-    batch_size = 8
+    # bs 16 fills the v5e better than the reference's 8/GPU (+12% measured);
+    # halves on OOM below
+    batch_size = 16
     while batch_size >= 1:
         try:
             train_step, params, opt_state, batch = build(batch_size)

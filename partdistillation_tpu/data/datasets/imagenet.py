@@ -27,6 +27,7 @@ from ..pseudo_store import PseudoLabelStore
 
 __all__ = [
     "read_class_names",
+    "global_code_to_id",
     "load_imagenet",
     "load_imagenet_with_proposals",
     "load_imagenet_with_segmentation",
@@ -55,6 +56,20 @@ def read_class_names(root: str) -> Dict[str, str]:
                 if len(parts) == 2:
                     names[parts[0]] = parts[1].split(",")[0].strip()
     return names
+
+
+def global_code_to_id(root: str) -> Dict[str, int]:
+    """The dataset-global synset-code -> class-id mapping: ids assigned over
+    the sorted full class-directory list, identical on every host/shard. This
+    is the vocabulary stages 4/5 key their centroid banks and part-classifier
+    head by — eval datasets must map their codes through it (the analog of
+    the reference's imagenet1k_to_22k_mapping.pkl, part_imagenet_mapper.py
+    :100-103)."""
+    codes = sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
+    )
+    return {c: i for i, c in enumerate(codes)}
 
 
 def _partition(seq: Sequence, index: Optional[int], total: Optional[int]) -> List:
@@ -103,13 +118,17 @@ def load_imagenet(
     if exclude_codes:
         drop = set(exclude_codes)
         codes = [c for c in codes if c not in drop]
+    # class ids are GLOBAL (assigned over the full filtered class list, before
+    # partition slicing): every shard/host must agree on code <-> id, because
+    # stages 4/5 key centroid banks and the part-classifier head by class_id
+    # across the whole dataset.
+    code_to_id = {c: i for i, c in enumerate(codes)}
     codes = _partition(codes, partition_index, total_partitions)
 
     store = PseudoLabelStore(object_mask_store) if object_mask_store else None
     skip_ids = skip_ids or set()
 
     items: List[dict] = []
-    code_to_id = {c: i for i, c in enumerate(codes)}
     for code in codes:
         class_dir = os.path.join(root, code)
         for fname in sorted(os.listdir(class_dir)):
@@ -161,12 +180,19 @@ def load_imagenet_with_proposals(
     of annotation payloads at register time.
     """
     store = PseudoLabelStore(proposal_store_dir)
+    # payload-free membership unless the filter (or eager load) needs the
+    # record — at IN-22K scale a full get() per image unpickles every mask
+    need_record = (min_object_area_ratio > 0.0) or not path_only
     out: List[dict] = []
     for item in imagenet_items:
-        record = store.get(item["image_id"])
-        if record is None:
-            continue
-        if record.get("object_ratio", 1.0) <= min_object_area_ratio:
+        record = None
+        if need_record:
+            record = store.get(item["image_id"])
+            if record is None:
+                continue
+            if record.get("object_ratio", 1.0) <= min_object_area_ratio:
+                continue
+        elif item["image_id"] not in store:
             continue
         joined = dict(item)
         if path_only:
@@ -190,13 +216,16 @@ def load_imagenet_with_segmentation(
     store = PseudoLabelStore(part_label_store_dir)
     out: List[dict] = []
     for item in imagenet_items:
-        record = store.get(item["image_id"])
-        if record is None:
-            continue
-        joined = dict(item)
         if path_only:
+            if item["image_id"] not in store:  # index-only membership
+                continue
+            joined = dict(item)
             joined["part_label_store"] = part_label_store_dir
         else:
+            record = store.get(item["image_id"])
+            if record is None:
+                continue
+            joined = dict(item)
             joined["part_labels"] = record
         out.append(joined)
         if debug_limit and len(out) >= debug_limit:

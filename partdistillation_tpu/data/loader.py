@@ -86,7 +86,26 @@ def batch_iterator(
             np.random.RandomState((seed, epoch)).shuffle(order)
         got_any = False
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            for example in pool.map(lambda i: mapper(items[int(i)]), order):
+            # Bounded in-flight window instead of pool.map: map() schedules
+            # the WHOLE epoch eagerly and buffers every decoded example in
+            # finished futures (no backpressure -> OOM at ~8 MB/example on
+            # million-item epochs). _epoch is injected for per-item augment
+            # RNG derivation (mappers._item_rng).
+            ep = epoch
+
+            def submit(i):
+                return pool.submit(mapper, {**items[int(i)], "_epoch": ep})
+
+            window = 2 * max(num_workers, 1)
+            from collections import deque
+
+            inflight = deque(submit(i) for i in order[:window])
+            next_idx = window
+            while inflight:
+                example = inflight.popleft().result()
+                if next_idx < len(order):
+                    inflight.append(submit(order[next_idx]))
+                    next_idx += 1
                 if example is None:
                     continue
                 got_any = True

@@ -111,8 +111,17 @@ class ProposalTrainMapper:
     augment: AugmentConfig = AugmentConfig()
     seed: int = 0
 
-    def __post_init__(self):
-        self._rng = np.random.RandomState(self.seed)
+    def _item_rng(self, item: dict) -> np.random.RandomState:
+        # Per-item generator: the loader's thread pool calls mappers
+        # concurrently and np.random.RandomState is not thread-safe (a shared
+        # state yields correlated/corrupted augmentations). Seeding by
+        # (seed, image_id, epoch) is both thread-safe and reproducible, with
+        # fresh augmentations each epoch (the loader injects ``_epoch``).
+        import zlib
+
+        key = zlib.crc32(str(item.get("image_id", "")).encode())
+        return np.random.RandomState(
+            (self.seed & 0xFFFFFFFF, key, item.get("_epoch", 0) & 0xFFFFFFFF))
 
     def __call__(self, item: dict) -> Optional[dict]:
         image = load_image(item["file_name"])
@@ -131,7 +140,7 @@ class ProposalTrainMapper:
         union = np.zeros(masks[0].shape, bool)
         for m in masks:
             union |= m
-        scale, cy, cx, flip = random_augment(self._rng, self.augment, size, union)
+        scale, cy, cx, flip = random_augment(self._item_rng(item), self.augment, size, union)
         image = apply_crop_flip(image, scale, cy, cx, flip, size, is_mask=False)
         masks = [apply_crop_flip(m, scale, cy, cx, flip, size, is_mask=True)
                  for m in masks]
@@ -197,8 +206,17 @@ class PartDistillationTrainMapper:
     augment: AugmentConfig = AugmentConfig()
     seed: int = 0
 
-    def __post_init__(self):
-        self._rng = np.random.RandomState(self.seed)
+    def _item_rng(self, item: dict) -> np.random.RandomState:
+        # Per-item generator: the loader's thread pool calls mappers
+        # concurrently and np.random.RandomState is not thread-safe (a shared
+        # state yields correlated/corrupted augmentations). Seeding by
+        # (seed, image_id, epoch) is both thread-safe and reproducible, with
+        # fresh augmentations each epoch (the loader injects ``_epoch``).
+        import zlib
+
+        key = zlib.crc32(str(item.get("image_id", "")).encode())
+        return np.random.RandomState(
+            (self.seed & 0xFFFFFFFF, key, item.get("_epoch", 0) & 0xFFFFFFFF))
 
     def __call__(self, item: dict) -> Optional[dict]:
         image = load_image(item["file_name"])
@@ -224,7 +242,7 @@ class PartDistillationTrainMapper:
         union = np.zeros(masks[0].shape, bool)
         for m in masks:
             union |= m
-        scale, cy, cx, flip = random_augment(self._rng, self.augment, size, union)
+        scale, cy, cx, flip = random_augment(self._item_rng(item), self.augment, size, union)
         image = apply_crop_flip(image, scale, cy, cx, flip, size, is_mask=False)
         masks = [apply_crop_flip(m, scale, cy, cx, flip, size, is_mask=True)
                  for m in masks]
@@ -256,6 +274,19 @@ class PartEvalMapper:
     image_size: int = 640
     capacity: int = 16
     merge_parts_by_class: bool = True
+    # Dataset-global part-name -> id vocabulary for Pascal-Parts items. Label
+    # ids index accumulated confusion matrices, so they MUST be consistent
+    # across images — build with PartEvalMapper.pascal_vocab(items) (the
+    # pascal_info canonical table analog), never per image.
+    part_vocab: Optional[Dict[str, int]] = None
+
+    @staticmethod
+    def pascal_vocab(items: List[dict]) -> Dict[str, int]:
+        names = sorted({
+            f"{o['class_name']}:{p['name']}"
+            for it in items for o in it.get("objects", []) for p in o["parts"]
+        })
+        return {n: i for i, n in enumerate(names)}
 
     def __call__(self, item: dict) -> Optional[dict]:
         image = load_image(item["file_name"])
@@ -285,11 +316,11 @@ class PartEvalMapper:
                 parts.append(m)
                 labels.append(cid)
         elif "objects" in item:  # Pascal-Parts
-            names = sorted({
-                f"{o['class_name']}:{p['name']}"
-                for o in item["objects"] for p in o["parts"]
-            })
-            name_to_id = {n: i for i, n in enumerate(names)}
+            if self.part_vocab is None:
+                raise ValueError(
+                    "Pascal-Parts items need a dataset-global part vocabulary: "
+                    "PartEvalMapper(part_vocab=PartEvalMapper.pascal_vocab(items))")
+            name_to_id = self.part_vocab
             by_class = {}
             for obj in item["objects"]:
                 object_mask |= resize_mask(obj["mask"], size)

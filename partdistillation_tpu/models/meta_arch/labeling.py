@@ -141,12 +141,15 @@ def run_labeling(
         class_ids = np.asarray(det["class_ids"], np.int32)
         target = int(item.get("class_id", -1))
 
+        # threshold BEFORE the class-match/fallback decision, matching the
+        # jit selection core (select_class_matched_topk): a below-threshold
+        # matched detection must not suppress the keep-all fallback
+        valid = scores >= cfg.score_threshold
         if cfg.match_classes:
-            matched = class_ids == target
-            pool = matched if matched.any() else np.ones_like(matched)
+            matched = valid & (class_ids == target)
+            pool = matched if matched.any() else valid
         else:
-            pool = np.ones(len(scores), bool)
-        pool &= scores >= cfg.score_threshold
+            pool = valid
         if not pool.any():
             n_empty += 1
             continue

@@ -10,40 +10,28 @@ numerics (the ops/test.py pattern) and to serve host-side inference.
 
 from __future__ import annotations
 
-import ctypes
-import os
-import subprocess
 import threading
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
+from ..utils.native_lib import build_native_so
+
 __all__ = ["ms_deform_attn_cpu", "ms_deform_attn_native_available"]
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
 _LOCK = threading.Lock()
 _STATE = {"tried": False, "ok": False}
 
 
 def _build_and_register() -> bool:
-    src = os.path.join(_NATIVE_DIR, "ms_deform_attn_cpu.cc")
-    if not os.path.exists(src) or os.environ.get("PDT_NO_NATIVE"):
-        return False
-    so = os.path.join(_BUILD_DIR, "libms_deform_attn_cpu.so")
     try:
         import jax
 
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            os.makedirs(_BUILD_DIR, exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-fopenmp", "-shared", "-fPIC",
-                 f"-I{jax.ffi.include_dir()}", src, "-o", so + ".tmp"],
-                check=True, capture_output=True)
-            os.replace(so + ".tmp", so)
-        lib = ctypes.CDLL(so)
+        lib = build_native_so(
+            "ms_deform_attn_cpu.cc", "libms_deform_attn_cpu.so",
+            extra_flags=("-fopenmp", f"-I{jax.ffi.include_dir()}"))
+        if lib is None:
+            return False
         jax.ffi.register_ffi_target(
             "pd_ms_deform_attn_fwd",
             jax.ffi.pycapsule(lib.PdMsDeformAttnFwd),

@@ -165,7 +165,7 @@ def cmd_propose(args):
     import jax
     import jax.numpy as jnp
 
-    from .data.loader import batch_iterator, host_shard
+    from .data.loader import batch_iterator
     from .data.mappers import ProposalGenerationMapper
     from .data.pseudo_store import ShardWriter
     from .models.meta_arch.proposal import normalize_images
@@ -329,7 +329,7 @@ def cmd_train_proposal(args):
     import jax.numpy as jnp
 
     from .data.datasets.imagenet import load_imagenet_with_proposals
-    from .data.loader import DataLoader, host_shard
+    from .data.loader import DataLoader
     from .data.mappers import ProposalTrainMapper
     from .engine.optim import OptimizerConfig
     from .engine.trainer import Trainer
@@ -338,10 +338,12 @@ def cmd_train_proposal(args):
     from .models.meta_arch.proposal import (ProposalModelConfig, make_loss_fn,
                                             normalize_images)
     from .models.segmenter import MaskFormerSegmenter
+    # _imagenet_items already class-partitions by process — no host_shard on
+    # top (double-sharding would drop (N-1)/N of each host's partition).
     base = _imagenet_items(cfg, args)
-    items = host_shard(load_imagenet_with_proposals(base, cfg.paths.proposals_dcrf
-                                                    if not args.raw_proposals
-                                                    else cfg.paths.proposals))
+    items = load_imagenet_with_proposals(base, cfg.paths.proposals_dcrf
+                                         if not args.raw_proposals
+                                         else cfg.paths.proposals)
     logger.info("stage 3: %d train items on this host", len(items))
 
     seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
@@ -385,7 +387,7 @@ def cmd_train_distillation(args):
     import jax.numpy as jnp
 
     from .data.datasets.imagenet import load_imagenet_with_segmentation
-    from .data.loader import DataLoader, host_shard
+    from .data.loader import DataLoader
     from .data.mappers import PartDistillationTrainMapper
     from .engine.optim import OptimizerConfig
     from .engine.trainer import Trainer
@@ -395,9 +397,9 @@ def cmd_train_distillation(args):
                                                      make_loss_fn)
     from .models.meta_arch.proposal import normalize_images
     from .models.segmenter import MaskFormerSegmenter
+    # _imagenet_items already class-partitions by process (see stage 3 note)
     base = _imagenet_items(cfg, args)
-    items = host_shard(load_imagenet_with_segmentation(
-        base, cfg.paths.part_masks_with_class))
+    items = load_imagenet_with_segmentation(base, cfg.paths.part_masks_with_class)
     logger.info("stage 5: %d train items on this host", len(items))
 
     num_obj = args.num_object_classes
@@ -486,9 +488,12 @@ def cmd_rank(args):
                               num_workers=cfg.data.num_workers)
 
     if "cluster" in phases:
+        from .engine.launch import barrier, is_main_process
+
         cluster_fn = jax.jit(make_cluster_fn(rank_cfg))
         clusterer = ClusteringModule(num_obj, seg.decoder.hidden_dim,
-                                     args.num_clusters)
+                                     args.num_clusters,
+                                     distributed=jax.process_count() > 1)
         for batch in batches():
             out = cluster_fn(params, {
                 "image": jnp.asarray(batch["image"]),
@@ -498,9 +503,14 @@ def cmd_rank(args):
             bv = batch["batch_valid"]
             out = {k: np.asarray(v)[bv] for k, v in out.items()}
             clusterer.process(out, np.asarray(batch["class_id"])[bv])
+        # evaluate() all-gathers features across hosts; only process 0 writes
+        # the shared bank (the reference's rank-0 sklearn ClusteringModule,
+        # clustering_module.py:43-70)
         centroids = clusterer.evaluate()
-        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
-        np.savez(centroid_path, centroids=centroids)
+        if is_main_process():
+            os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+            np.savez(centroid_path, centroids=centroids)
+        barrier("rank_centroids_written")
         logger.info("stage 4 cluster: centroid bank %s saved", centroids.shape)
 
     if "save" in phases:
@@ -557,10 +567,30 @@ def _rank_match_eval(cfg, args, rank_cfg, params, centroid_path, phases, num_obj
     items = load_part_imagenet(cfg.data.part_imagenet_json,
                                cfg.data.part_imagenet_images,
                                debug_limit=cfg.data.debug_limit)
-    codes = sorted({it["class_code"] for it in items})
-    code_to_id = {c: i for i, c in enumerate(codes)}
+    # Object-class ids must be the ImageNet-root GLOBAL vocabulary — the ids
+    # the centroid bank (cluster phase) and vote mapping are indexed by. Eval
+    # synsets outside the vocabulary (or beyond the configured bank size)
+    # cannot be scored and are dropped.
+    from .data.datasets.imagenet import global_code_to_id
+
+    try:
+        code_to_id = global_code_to_id(cfg.data.imagenet_root)
+    except FileNotFoundError:
+        code_to_id = {}
+    if not code_to_id:
+        logger.warning("imagenet_root unavailable; falling back to eval-local "
+                       "class ids (only valid if the eval set's sorted codes "
+                       "match the training vocabulary)")
+        codes = sorted({it["class_code"] for it in items})
+        code_to_id = {c: i for i, c in enumerate(codes)}
+    n_before = len(items)
+    items = [it for it in items
+             if code_to_id.get(it["class_code"], num_obj) < num_obj]
+    if len(items) < n_before:
+        logger.warning("rank match/eval: dropped %d items outside the %d-class "
+                       "object vocabulary", n_before - len(items), num_obj)
     for it in items:
-        it["class_id"] = code_to_id[it["class_code"]] % num_obj
+        it["class_id"] = code_to_id[it["class_code"]]
     n_gt_parts = args.num_gt_parts
     mapper = PartEvalMapper(image_size=cfg.data.image_size, capacity=16)
     centroids = jnp.asarray(np.load(centroid_path)["centroids"])
@@ -584,7 +614,8 @@ def _rank_match_eval(cfg, args, rank_cfg, params, centroid_path, phases, num_obj
     mapping_arr = None
     if "match" in phases:
         matcher = MIoUMatcher(pred_classes=rank_cfg.num_clusters,
-                              gt_classes=n_gt_parts)
+                              gt_classes=n_gt_parts,
+                              distributed=jax.process_count() > 1)
         for batch, out in run(RankingMode.MATCH):
             bv = batch["batch_valid"]
             matcher.process({k: v[bv] for k, v in out.items()},
@@ -594,15 +625,20 @@ def _rank_match_eval(cfg, args, rank_cfg, params, centroid_path, phases, num_obj
         mapping_arr = np.zeros((num_obj, rank_cfg.num_clusters), np.int32)
         for c, vote in votes.items():
             mapping_arr[c] = vote[: rank_cfg.num_clusters]
-        np.savez(os.path.join(cfg.checkpoint_dir, "rank_mapping.npz"),
-                 mapping=mapping_arr)
+        from .engine.launch import barrier, is_main_process
+
+        if is_main_process():
+            np.savez(os.path.join(cfg.checkpoint_dir, "rank_mapping.npz"),
+                     mapping=mapping_arr)
+        barrier("rank_mapping_written")
         logger.info("stage 4 match: mapping for %d classes", len(votes))
 
     if "eval" in phases:
         if mapping_arr is None:
             mapping_arr = np.load(
                 os.path.join(cfg.checkpoint_dir, "rank_mapping.npz"))["mapping"]
-        evaluator = MIoUEvaluator(gt_classes=n_gt_parts)
+        evaluator = MIoUEvaluator(gt_classes=n_gt_parts,
+                                  distributed=jax.process_count() > 1)
         for batch, out in run(RankingMode.EVAL, jnp.asarray(mapping_arr)):
             bv = batch["batch_valid"]
             evaluator.process({k: v[bv] for k, v in out.items()},

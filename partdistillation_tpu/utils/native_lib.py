@@ -16,8 +16,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["rle_lib", "native_available", "encode_counts", "decode_counts",
-           "area_counts", "iou_counts_matrix"]
+__all__ = ["build_native_so", "rle_lib", "native_available", "encode_counts",
+           "decode_counts", "area_counts", "iou_counts_matrix"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
@@ -27,21 +27,33 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
-def _build_and_load() -> Optional[ctypes.CDLL]:
-    src = os.path.join(_NATIVE_DIR, "rle_codec.cc")
+def build_native_so(src_name: str, so_name: str,
+                    extra_flags: tuple = ()) -> Optional[ctypes.CDLL]:
+    """Compile native/<src_name> to native/build/<so_name> (mtime-cached,
+    atomic .tmp rename) and dlopen it. Returns None when the source is
+    missing, PDT_NO_NATIVE is set, or the toolchain fails — callers fall back
+    to their pure-python paths. Shared by every native component."""
+    src = os.path.join(_NATIVE_DIR, src_name)
     if not os.path.exists(src) or os.environ.get("PDT_NO_NATIVE"):
         return None
-    so = os.path.join(_BUILD_DIR, "librle_codec.so")
+    so = os.path.join(_BUILD_DIR, so_name)
     try:
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
             os.makedirs(_BUILD_DIR, exist_ok=True)
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so + ".tmp"],
+                ["g++", "-O3", *extra_flags, "-shared", "-fPIC", src,
+                 "-o", so + ".tmp"],
                 check=True, capture_output=True)
             os.replace(so + ".tmp", so)
-        lib = ctypes.CDLL(so)
+        return ctypes.CDLL(so)
     except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    lib = build_native_so("rle_codec.cc", "librle_codec.so")
+    if lib is None:
         return None
 
     lib.pd_rle_encode.restype = ctypes.c_int64

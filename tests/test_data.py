@@ -220,3 +220,70 @@ class TestMappersAndLoader:
         loader = DataLoader(items, mapper, batch_size=4, shuffle=True, seed=1)
         batches = list(loader)
         assert len(batches) == 3 and batches[0]["x"].shape == (4,)
+
+
+def test_class_ids_global_across_partitions(tmp_path):
+    """class_id must be identical for a class regardless of which partition
+    slice enumerates it (stages 4/5 key centroid banks by it)."""
+    import numpy as np
+    from PIL import Image
+
+    from partdistillation_tpu.data.datasets.imagenet import (
+        global_code_to_id, load_imagenet)
+
+    root = tmp_path / "im"
+    codes = ["n001", "n002", "n003", "n004"]
+    for c in codes:
+        d = root / c
+        d.mkdir(parents=True)
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(str(d / f"{c}_0.JPEG"))
+
+    full = {it["class_code"]: it["class_id"] for it in load_imagenet(str(root))}
+    for pi in range(2):
+        part = load_imagenet(str(root), partition_index=pi, total_partitions=2)
+        for it in part:
+            assert it["class_id"] == full[it["class_code"]]
+    assert global_code_to_id(str(root)) == full
+
+
+def test_mapper_rng_is_per_item_and_epoch(tmp_path):
+    """Same (item, epoch) -> same augmentation; different epoch -> different."""
+    import numpy as np
+
+    from partdistillation_tpu.data.mappers import ProposalTrainMapper
+
+    m = ProposalTrainMapper(image_size=16, seed=3)
+    r1 = m._item_rng({"image_id": "a", "_epoch": 0}).rand(4)
+    r2 = m._item_rng({"image_id": "a", "_epoch": 0}).rand(4)
+    r3 = m._item_rng({"image_id": "a", "_epoch": 1}).rand(4)
+    r4 = m._item_rng({"image_id": "b", "_epoch": 0}).rand(4)
+    np.testing.assert_array_equal(r1, r2)
+    assert not np.array_equal(r1, r3)
+    assert not np.array_equal(r1, r4)
+
+
+def test_pascal_part_vocab_is_global():
+    from partdistillation_tpu.data.mappers import PartEvalMapper
+
+    items = [
+        {"objects": [{"class_name": "cow",
+                      "parts": [{"name": "head"}, {"name": "leg"}]}]},
+        {"objects": [{"class_name": "cow",
+                      "parts": [{"name": "ear"}, {"name": "head"}]}]},
+    ]
+    vocab = PartEvalMapper.pascal_vocab(items)
+    assert vocab == {"cow:ear": 0, "cow:head": 1, "cow:leg": 2}
+    # mapper without a vocab must refuse Pascal items rather than invent
+    # per-image label ids
+    import tempfile
+
+    import pytest
+    from PIL import Image
+
+    with tempfile.NamedTemporaryFile(suffix=".png") as f:
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(f.name)
+        m = PartEvalMapper(image_size=16)
+        with pytest.raises(ValueError, match="global part vocabulary"):
+            m({"file_name": f.name, "image_id": "x", "objects": [
+                {"class_name": "cow", "mask": np.ones((16, 16), bool),
+                 "parts": [{"name": "head", "mask": np.ones((16, 16), bool)}]}]})

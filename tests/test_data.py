@@ -287,3 +287,27 @@ def test_pascal_part_vocab_is_global():
             m({"file_name": f.name, "image_id": "x", "objects": [
                 {"class_name": "cow", "mask": np.ones((16, 16), bool),
                  "parts": [{"name": "head", "mask": np.ones((16, 16), bool)}]}]})
+
+
+def test_batch_iterator_bounded_window_preserves_order_and_epoch():
+    """The bounded in-flight rewrite must keep deterministic order, inject
+    _epoch, and still fill batches across epochs under heavy rejection."""
+    from partdistillation_tpu.data.loader import batch_iterator
+
+    items = [{"image_id": f"i{k}", "v": k} for k in range(10)]
+    seen_epochs = []
+
+    def mapper(item):
+        seen_epochs.append(item["_epoch"])
+        if item["v"] % 2:  # reject odd items
+            return None
+        return {"x": np.asarray([item["v"]], np.int64), "image_id": item["image_id"]}
+
+    batches = list(batch_iterator(items, mapper, batch_size=4, num_workers=3,
+                                  epochs=2, drop_last=False))
+    vals = np.concatenate([b["x"][b["batch_valid"]] for b in batches])[:, 0]
+    # two epochs of the 5 even items, unshuffled order preserved
+    np.testing.assert_array_equal(vals, [0, 2, 4, 6, 8] * 2)
+    assert set(seen_epochs) == {0, 1}
+    # partial final batch padded by repetition, marked invalid
+    assert batches[-1]["batch_valid"].sum() == len(vals) % 4 or batches[-1]["batch_valid"].all()

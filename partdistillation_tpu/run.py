@@ -674,6 +674,28 @@ def _supervised_setup(cfg, args):
     train_classes = 1 if args.class_agnostic else n_cls
     seg = _segmenter_cfg(args.tiny, num_classes=train_classes,
                          num_queries=args.num_queries)
+    # Architecture switches (the reference's PIXEL_DECODER_NAME /
+    # TRANSFORMER_DECODER_NAME registry dispatch): select the FPN pixel
+    # decoders and/or the MaskFormer-v1 standard decoder.
+    if args.pixel_decoder != "msdeform" or args.decoder != "multi_scale":
+        import dataclasses as _dc
+
+        from .models.fpn import FPNPixelDecoderConfig
+        from .models.maskformer_decoder import StandardDecoderConfig
+
+        fpn = (FPNPixelDecoderConfig(conv_dim=32, mask_dim=32,
+                                     transformer_enc_layers=1, n_heads=4,
+                                     transformer_ffn_dim=64)
+               if args.tiny else FPNPixelDecoderConfig())
+        std = (StandardDecoderConfig(num_classes=train_classes, hidden_dim=32,
+                                     num_queries=args.num_queries, num_heads=4,
+                                     dim_feedforward=64, dec_layers=2,
+                                     mask_dim=32)
+               if args.tiny else
+               StandardDecoderConfig(num_classes=train_classes,
+                                     num_queries=args.num_queries))
+        seg = _dc.replace(seg, pixel_decoder_type=args.pixel_decoder, fpn=fpn,
+                          decoder_type=args.decoder, standard_decoder=std)
     n_pts = 1024 if args.tiny else 12544
     model_cfg = SupervisedModelConfig(
         segmenter=seg,
@@ -930,6 +952,10 @@ def build_parser():
         p.add_argument("--class-agnostic", action="store_true")
         p.add_argument("--label-percentage", type=float, default=None,
                        help="fewshot subset %% (seed 1234)")
+        p.add_argument("--pixel-decoder", default="msdeform",
+                       choices=["msdeform", "fpn", "transformer_fpn"])
+        p.add_argument("--decoder", default="multi_scale",
+                       choices=["multi_scale", "standard"])
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("eval-pixel-grouping", help="stage-2 AR eval vs GT parts")

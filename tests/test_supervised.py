@@ -132,3 +132,36 @@ def test_supervised_cli_train_eval(tmp_path, capsys):
               "--class-agnostic", "--set", *ov2])
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["steps"] >= 2
+
+
+def test_supervised_cli_alternative_heads(tmp_path, capsys):
+    """--pixel-decoder/--decoder select the v1 heads (PIXEL_DECODER_NAME /
+    TRANSFORMER_DECODER_NAME registry-dispatch parity)."""
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(4):
+        fname = f"n02084071_{i}.JPEG"
+        Image.fromarray(rng.randint(0, 255, (48, 48, 3), np.uint8)).save(
+            str(img_dir / fname))
+        images.append({"id": i, "file_name": fname, "height": 48, "width": 48})
+        annotations.append({
+            "id": i * 2, "image_id": i, "category_id": i % 3,
+            "segmentation": [[4.0, 4.0, 40.0, 4.0, 40.0, 40.0, 4.0, 40.0]]})
+    jf = tmp_path / "parts.json"
+    jf.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": c, "name": f"part{c}"} for c in range(3)]}))
+    ov = [f"data.part_imagenet_json={jf}", f"data.part_imagenet_images={img_dir}",
+          "data.image_size=48", "data.batch_size=4", "data.num_workers=2",
+          f"checkpoint_dir={tmp_path}/ckpt_v1", "max_iters=2", "log_every=1",
+          "checkpoint_every=1000"]
+    cli.main(["train-supervised", "--tiny", "--num-queries", "8",
+              "--num-part-classes", "3",
+              "--pixel-decoder", "transformer_fpn", "--decoder", "standard",
+              "--set", *ov])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["steps"] >= 2

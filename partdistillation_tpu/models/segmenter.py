@@ -67,7 +67,10 @@ class MaskFormerSegmenter(nn.Module):
     ) -> dict:
         import jax
 
-        feats = SwinTransformer(self.cfg.swin, name="backbone")(images, train=train)
+        # named scopes group profiler traces by pipeline component
+        # (SURVEY.md §5 tracing: the JAX-profiler analog of per-stage timing)
+        with jax.named_scope("backbone"):
+            feats = SwinTransformer(self.cfg.swin, name="backbone")(images, train=train)
         if self.cfg.freeze_backbone:
             # stage-3/5 launches freeze the trunk (train_multi.sh:8
             # freeze_keys='["backbone","encoder"]'). stop_gradient here does
@@ -76,30 +79,31 @@ class MaskFormerSegmenter(nn.Module):
             feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
         pd_cfg = (self.cfg.pixel_decoder if self.cfg.pixel_decoder_type == "msdeform"
                   else self.cfg.fpn)
-        mask_features, encoder_feature, ms_feats = build_pixel_decoder(
-            self.cfg.pixel_decoder_type, pd_cfg
-        )(feats)
+        with jax.named_scope("pixel_decoder"):
+            mask_features, encoder_feature, ms_feats = build_pixel_decoder(
+                self.cfg.pixel_decoder_type, pd_cfg
+            )(feats)
         if self.cfg.freeze_pixel_decoder:
             mask_features = jax.lax.stop_gradient(mask_features)
             ms_feats = [jax.lax.stop_gradient(f) for f in ms_feats]
 
-        if self.cfg.decoder_type == "standard":
-            # v1 path: queries attend one map — the pixel decoder's transformer
-            # output when present, else the coarsest FPN map
-            # (mask_former_head.py:129-143 TRANSFORMER_IN_FEATURE routing).
-            src = encoder_feature if encoder_feature is not None else ms_feats[0]
-            out = StandardTransformerDecoder(self.cfg.standard_decoder, name="predictor")(
-                src, mask_features
-            )
-        else:
-            decoder_cls = (
-                PartDistillationTransformerDecoder
-                if self.cfg.uses_part_head
-                else MultiScaleMaskedTransformerDecoder
-            )
-            out = decoder_cls(self.cfg.decoder, name="predictor")(
-                ms_feats, mask_features, gt_object_class=gt_object_class
-            )
+        with jax.named_scope("transformer_decoder"):
+            if self.cfg.decoder_type == "standard":
+                # v1 path: queries attend one map — the pixel decoder's
+                # transformer output when present, else the coarsest FPN map
+                # (mask_former_head.py:129-143 TRANSFORMER_IN_FEATURE routing).
+                src = encoder_feature if encoder_feature is not None else ms_feats[0]
+                out = StandardTransformerDecoder(
+                    self.cfg.standard_decoder, name="predictor")(src, mask_features)
+            else:
+                decoder_cls = (
+                    PartDistillationTransformerDecoder
+                    if self.cfg.uses_part_head
+                    else MultiScaleMaskedTransformerDecoder
+                )
+                out = decoder_cls(self.cfg.decoder, name="predictor")(
+                    ms_feats, mask_features, gt_object_class=gt_object_class
+                )
         out["mask_features"] = mask_features
         out["backbone_features"] = feats
         return out

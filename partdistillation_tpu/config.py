@@ -214,6 +214,9 @@ class PipelineConfig:
     max_iters: int = 1000
     log_every: int = 20
     checkpoint_every: int = 1000
+    # run the stage's evaluator on the held-out GT set every N steps during
+    # training (the reference's TEST.EVAL_PERIOD, train_multi.sh:61); 0 = off
+    eval_every: int = 0
     n_model_shards: int = 1
 
 

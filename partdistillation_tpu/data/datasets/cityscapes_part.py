@@ -27,6 +27,13 @@ CITYSCAPES_PART_SIDS: Dict[int, str] = {
     24: "person", 25: "rider", 26: "car", 27: "truck", 28: "bus",
 }
 
+# Global part-label offsets per semantic id, so part ids from different object
+# classes don't collide in one confusion matrix (the reference's PART_BASE_ID,
+# cityscapes_part_mapper.py:35,74): person/rider have 4 parts each,
+# car/truck/bus 5 each -> 23 global part classes.
+CITYSCAPES_PART_BASE: Dict[int, int] = {24: 0, 25: 4, 26: 8, 27: 13, 28: 18}
+CITYSCAPES_NUM_PART_CLASSES = 23
+
 
 def decode_panoptic_parts(uids: np.ndarray, keep_sids=tuple(CITYSCAPES_PART_SIDS)) -> List[dict]:
     """uid image -> [{sid, iid, object_mask, parts: [{pid, mask}]}]."""

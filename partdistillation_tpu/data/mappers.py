@@ -46,6 +46,7 @@ __all__ = [
     "ProposalTrainMapper",
     "PartRankingMapper",
     "PartDistillationTrainMapper",
+    "PartDistillationSaveMapper",
     "PartEvalMapper",
 ]
 
@@ -266,6 +267,52 @@ class PartDistillationTrainMapper:
 
 
 @dataclasses.dataclass
+class PartDistillationSaveMapper:
+    """Stage-5 save/inference input: image + stage-4 class-labeled part masks
+    (their union is the object region) + gt_object_class, deterministic resize
+    (the part_distillation_model.py:290-311 save pass reads the stage-4 store
+    un-augmented)."""
+
+    image_size: int = 640
+    capacity: int = 8
+
+    def __call__(self, item: dict) -> Optional[dict]:
+        image = load_image(item["file_name"])
+        if image is None:
+            return None
+        record = item.get("part_labels")
+        if record is None and "part_label_store" in item:
+            record = _STORES.get(item["part_label_store"]).get(item["image_id"])
+        if record is None:
+            return None
+        masks = _decode_rles(record.get("part_masks", []))
+        if not masks:
+            return None
+        labels = list(record.get("part_labels", [0] * len(masks)))
+        size = (self.image_size, self.image_size)
+        image = resize_image(image, size)
+        masks = [resize_mask(m, size) for m in masks]
+        object_mask = np.zeros(size, bool)
+        for m in masks:
+            object_mask |= m
+        if not object_mask.any():
+            return None
+        stacked, valid = pad_stack(masks, self.capacity, self.image_size)
+        padded = np.zeros((self.capacity,), np.int32)
+        padded[: len(labels[: self.capacity])] = labels[: self.capacity]
+        return {
+            "image": image.astype(np.float32),
+            "object_mask": object_mask,
+            "part_masks": stacked,
+            "part_labels": padded,
+            "part_valid": valid,
+            "gt_object_class": np.int32(record.get("object_class",
+                                                   item.get("class_id", 0))),
+            "image_id": item["image_id"],
+        }
+
+
+@dataclasses.dataclass
 class PartEvalMapper:
     """Eval sets: {image, object_mask, gt_part_masks (T,S,S), gt_part_labels,
     gt_valid, object_class}. ``merge_parts_by_class`` merges all instances of
@@ -336,20 +383,42 @@ class PartEvalMapper:
                 parts.append(m)
                 labels.append(cid)
         elif "part_png" in item:  # Cityscapes panoptic parts
-            from .datasets.cityscapes_part import decode_panoptic_parts
+            from .datasets.cityscapes_part import (CITYSCAPES_PART_BASE,
+                                                   decode_panoptic_parts)
 
-            uids = load_image(item["part_png"])
-            if uids is None:
-                from PIL import Image
+            # NOT load_image: the uid PNGs are 16/32-bit integer images and an
+            # RGB-uint8 conversion would clamp the encoded ids
+            from PIL import Image
 
-                uids = np.asarray(Image.open(item["part_png"]))
+            try:
+                with Image.open(item["part_png"]) as im:
+                    uids = np.asarray(im)
+            except Exception:
+                return None
             if uids.ndim == 3:
-                uids = uids[..., 0].astype(np.int64)
+                uids = uids[..., 0]
+            uids = uids.astype(np.int64)
+            # item["sid"] restricts to one object class (per-object-class eval
+            # keying); labels use the global PART_BASE_ID offsets so ids from
+            # different classes never collide (cityscapes_part_mapper.py:74).
+            want_sid = item.get("sid")
+            by_class = {}
             for obj in decode_panoptic_parts(uids):
+                if want_sid is not None and obj["sid"] != want_sid:
+                    continue
                 object_mask |= resize_mask(obj["object_mask"], size)
+                base = CITYSCAPES_PART_BASE.get(obj["sid"], 0)
                 for p in obj["parts"]:
-                    parts.append(resize_mask(p["mask"], size))
-                    labels.append(p["pid"] - 1)
+                    m = resize_mask(p["mask"], size)
+                    cid = base + p["pid"] - 1
+                    if self.merge_parts_by_class:
+                        by_class[cid] = by_class.get(cid, np.zeros(size, bool)) | m
+                    else:
+                        parts.append(m)
+                        labels.append(cid)
+            for cid, m in sorted(by_class.items()):
+                parts.append(m)
+                labels.append(cid)
         else:
             return None
 

@@ -101,15 +101,37 @@ def _imagenet_items(cfg, args, object_store: Optional[str] = None):
     )
 
 
-def _restore_params(path: Optional[str], init_fn):
-    """Orbax restore if path given, else init_fn()."""
+def _restore_params(path: Optional[str], init_fn, trainer_dir: Optional[str] = None):
+    """Model params for eval/inference CLIs.
+
+    ``path``: a bare Orbax params checkpoint (StandardCheckpointer layout).
+    ``trainer_dir``: a stage Trainer checkpoint dir (CheckpointManager of
+    TrainStates) — the latest step's ``params`` subtree is grafted onto the
+    freshly-initialized structure. This is how a trained stage-3/5 model is
+    fed into the eval entry points (the reference's
+    DetectionCheckpointer.resume_or_load at part_proposal_train_net.py:205).
+    """
     params = init_fn()
+    if path and trainer_dir:
+        raise SystemExit("--params and --trainer-checkpoint are mutually exclusive")
     if path:
         import orbax.checkpoint as ocp
 
         ckpt = ocp.StandardCheckpointer()
         params = ckpt.restore(os.path.abspath(path), params)
         logger.info("restored params from %s", path)
+    elif trainer_dir:
+        import jax
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(trainer_dir))
+        latest = mgr.latest_step()
+        if latest is None:
+            raise SystemExit(f"no trainer checkpoint found in {trainer_dir}")
+        restored = mgr.restore(latest)["params"]
+        # graft onto the init tree: validates structure, keeps weak types
+        params = jax.tree_util.tree_map(lambda _, new: new, params, restored)
+        logger.info("restored trainer params from %s step %d", trainer_dir, latest)
     return params
 
 
@@ -134,6 +156,113 @@ def _fit_mesh(batch_size: int, n_model: int = 1):
     n_avail = max(len(jax.devices()) // max(n_model, 1), 1)
     n_data = math.gcd(n_avail, batch_size) or 1
     return make_mesh(n_data=n_data, n_model=n_model)
+
+
+# ---------------------------------------------------------------- eval datasets
+
+
+def _load_eval_items(cfg, args) -> dict:
+    """``--eval-dataset`` switch shared by the eval CLIs — the reference's
+    TEST-set wiring (part_ranking_train_net.py TEST lists;
+    sh_files/supervised_learning/semseg/pascal.sh:6-33).
+
+    Returns {name, items, mapper_kwargs, n_gt_parts, num_obj_classes}. Items
+    carry a dataset-local ``class_id`` for pascal/cityscapes (one item per
+    (image, object class), the per-object-class confusion keying of
+    register_pascal_parts.py:45 / cityscapes_part_mapper.py:59-63);
+    part_imagenet items keep their synset ``class_code`` (mapped to the
+    imagenet vocabulary by the caller when a bank index is needed).
+    """
+    name = getattr(args, "eval_dataset", "part_imagenet")
+    if name == "part_imagenet":
+        from .data.datasets.part_imagenet import load_part_imagenet
+
+        items = load_part_imagenet(cfg.data.part_imagenet_json,
+                                   cfg.data.part_imagenet_images,
+                                   debug_limit=cfg.data.debug_limit)
+        return {"name": name, "items": items, "mapper_kwargs": {},
+                "n_gt_parts": getattr(args, "num_gt_parts", 40),
+                "num_obj_classes": None}
+    if name == "pascal":
+        from .data.datasets.pascal_parts import load_pascal_parts
+        from .data.mappers import PartEvalMapper
+
+        raw = load_pascal_parts(cfg.data.pascal_parts_annotations,
+                                cfg.data.pascal_parts_images,
+                                debug_limit=cfg.data.debug_limit)
+        vocab = PartEvalMapper.pascal_vocab(raw)
+        class_names = sorted({o["class_name"] for it in raw for o in it["objects"]})
+        cid = {c: i for i, c in enumerate(class_names)}
+        items = []
+        for it in raw:
+            by_cls = {}
+            for o in it["objects"]:
+                by_cls.setdefault(o["class_name"], []).append(o)
+            for cname, objs in sorted(by_cls.items()):
+                entry = {k: v for k, v in it.items() if k != "objects"}
+                entry.update(image_id=f"{it['image_id']}:{cname}",
+                             objects=objs, class_id=cid[cname])
+                items.append(entry)
+        return {"name": name, "items": items,
+                "mapper_kwargs": {"part_vocab": vocab},
+                "n_gt_parts": max(len(vocab), 1), "num_obj_classes": len(class_names)}
+    if name == "cityscapes":
+        from .data.datasets.cityscapes_part import (
+            CITYSCAPES_NUM_PART_CLASSES, CITYSCAPES_PART_SIDS, load_cityscapes_part)
+
+        raw = load_cityscapes_part(cfg.data.cityscapes_part_labels,
+                                   cfg.data.cityscapes_images,
+                                   debug_limit=cfg.data.debug_limit)
+        sids = sorted(CITYSCAPES_PART_SIDS)
+        items = [dict(it, image_id=f"{it['image_id']}:{s}", sid=s, class_id=i)
+                 for it in raw for i, s in enumerate(sids)]
+        return {"name": name, "items": items, "mapper_kwargs": {},
+                "n_gt_parts": CITYSCAPES_NUM_PART_CLASSES,
+                "num_obj_classes": len(sids)}
+    raise SystemExit(f"unknown --eval-dataset {name!r} "
+                     "(choose part_imagenet, pascal, or cityscapes)")
+
+
+def _assign_eval_class_ids(cfg, ds: dict, num_obj: int) -> list:
+    """Give every eval item an object-class id indexing the model's per-class
+    state (centroid bank / vote mapping / giant head).
+
+    part_imagenet: synset codes -> the ImageNet-root GLOBAL vocabulary (the
+    ids the bank was built with); out-of-vocabulary items are dropped.
+    pascal/cityscapes: items already carry dataset-local ids (the reference
+    runs its modal pipeline per dataset with local category ids).
+    """
+    items = ds["items"]
+    if ds["name"] != "part_imagenet":
+        n_local = ds["num_obj_classes"] or 1
+        if n_local > num_obj:
+            raise SystemExit(
+                f"{ds['name']} has {n_local} object classes but the model bank "
+                f"covers {num_obj}; re-run the cluster/train phase on this "
+                "dataset or raise --num-object-classes")
+        return items
+
+    from .data.datasets.imagenet import global_code_to_id
+
+    try:
+        code_to_id = global_code_to_id(cfg.data.imagenet_root)
+    except FileNotFoundError:
+        code_to_id = {}
+    if not code_to_id:
+        logger.warning("imagenet_root unavailable; falling back to eval-local "
+                       "class ids (only valid if the eval set's sorted codes "
+                       "match the training vocabulary)")
+        codes = sorted({it["class_code"] for it in items})
+        code_to_id = {c: i for i, c in enumerate(codes)}
+    n_before = len(items)
+    items = [it for it in items
+             if code_to_id.get(it["class_code"], num_obj) < num_obj]
+    if len(items) < n_before:
+        logger.warning("eval: dropped %d items outside the %d-class object "
+                       "vocabulary", n_before - len(items), num_obj)
+    for it in items:
+        it["class_id"] = code_to_id[it["class_code"]]
+    return items
 
 
 # ---------------------------------------------------------------- stage 1
@@ -262,7 +391,7 @@ def cmd_dcrf(args):
     refine_fn = jax.jit(jax.vmap(refine))
     mapper = PartRankingMapper(image_size=cfg.data.image_size, capacity=capacity)
 
-    n_saved, t0 = 0, time.perf_counter()
+    n_saved, n_batches, t0 = 0, 0, time.perf_counter()
     for batch in batch_iterator(items, mapper, cfg.data.batch_size,
                                 num_workers=cfg.data.num_workers):
         refined, valid = refine_fn(jnp.asarray(batch["image"]),
@@ -283,7 +412,8 @@ def cmd_dcrf(args):
                 "object_ratio": float(union.mean()),
                 "object_class": int(batch["class_id"][b]),
             }))
-        if n_saved % 200 == 0:
+        n_batches += 1
+        if n_batches % 20 == 0:
             writer.flush()
     writer.close()
     print(json.dumps({"stage": "dcrf", "saved": n_saved,
@@ -293,7 +423,10 @@ def cmd_dcrf(args):
 # ---------------------------------------------------------------- training
 
 
-def _train_loop(cfg, trainer, loader, stage: str):
+def _train_loop(cfg, trainer, loader, stage: str, eval_fn=None):
+    """Hot loop + periodic held-out evaluation (TEST.EVAL_PERIOD parity:
+    ``eval_fn(params) -> metrics`` runs every ``cfg.eval_every`` steps and its
+    scalars land in metrics.jsonl under ``eval/``)."""
     from .engine.metrics import MetricLogger
 
     mlog = MetricLogger(os.path.join(cfg.checkpoint_dir, "logs", stage),
@@ -312,6 +445,12 @@ def _train_loop(cfg, trainer, loader, stage: str):
                         stage, step, m.get("total_loss", float("nan")),
                         m.get("grad_norm", float("nan")), ips)
             mlog.log({**m, "images_per_sec": ips}, step)
+        if eval_fn is not None and cfg.eval_every > 0 and step % cfg.eval_every == 0:
+            emetrics = eval_fn(trainer.state.params)
+            emetrics = {f"eval/{k}": float(v) for k, v in (emetrics or {}).items()
+                        if isinstance(v, (int, float, np.floating))}
+            logger.info("%s step %d eval: %s", stage, step, emetrics)
+            mlog.log(emetrics, step)
         if trainer._ckpt is not None and step % cfg.checkpoint_every == 0:
             trainer.save()
         if step >= cfg.max_iters:
@@ -377,7 +516,15 @@ def cmd_train_proposal(args):
     loader = DataLoader(items, mapper, cfg.data.batch_size, shuffle=True,
                         seed=cfg.seed, epochs=None,
                         num_workers=cfg.data.num_workers, drop_last=True)
-    stats = _train_loop(cfg, trainer, loader, "train-proposal")
+    eval_fn = None
+    if cfg.eval_every > 0:
+        import dataclasses as _dc
+
+        ds = _load_eval_items(cfg, args)
+        infer_cfg = _dc.replace(
+            model_cfg, test_topk=min(model_cfg.test_topk, args.num_queries))
+        eval_fn = lambda p: _proposal_ar_eval(cfg, args, infer_cfg, p, ds)  # noqa: E731
+    stats = _train_loop(cfg, trainer, loader, "train-proposal", eval_fn=eval_fn)
     print(json.dumps({"stage": "train-proposal", **stats}))
 
 
@@ -437,8 +584,87 @@ def cmd_train_distillation(args):
     loader = DataLoader(items, mapper, cfg.data.batch_size, shuffle=True,
                         seed=cfg.seed, epochs=None,
                         num_workers=cfg.data.num_workers, drop_last=True)
-    stats = _train_loop(cfg, trainer, loader, "train-distillation")
+    eval_fn = None
+    if cfg.eval_every > 0:
+        import dataclasses as _dc
+
+        ds = _load_eval_items(cfg, args)
+        infer_cfg = _dc.replace(
+            model_cfg,
+            test_topk=min(model_cfg.test_topk, args.num_queries * args.num_parts))
+        eval_fn = lambda p: _distill_match_eval(  # noqa: E731
+            cfg, args, infer_cfg, p, phases=("match", "eval"), ds=ds)
+    stats = _train_loop(cfg, trainer, loader, "train-distillation", eval_fn=eval_fn)
     print(json.dumps({"stage": "train-distillation", **stats}))
+
+
+# ---------------------------------------------------------------- stage 3 eval
+
+
+def _proposal_ar_eval(cfg, args, model_cfg, params, ds=None) -> dict:
+    """AR@k of the (trained) ProposalModel on a GT part dataset — the
+    reference Trainer.test -> ProposalModel.inference -> ProposalEvaluator
+    path (part_proposal_train_net.py:90-126, proposal_model.py:371-430)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.loader import batch_iterator
+    from .data.mappers import PartEvalMapper
+    from .evaluation.proposal_evaluator import ProposalEvaluator
+    from .models.meta_arch.proposal import make_inference_fn
+
+    if ds is None:
+        ds = _load_eval_items(cfg, args)
+    # AR is class-agnostic over part *instances*: keep instances separate
+    mapper = PartEvalMapper(image_size=cfg.data.image_size, capacity=16,
+                            merge_parts_by_class=False, **ds["mapper_kwargs"])
+    infer_fn = jax.jit(make_inference_fn(model_cfg))
+    limits = tuple(l for l in (1, 10, 50, 100, 200) if l <= model_cfg.test_topk)
+    evaluator = ProposalEvaluator(limits=limits or (model_cfg.test_topk,),
+                                  distributed=jax.process_count() > 1)
+    for batch in batch_iterator(ds["items"], mapper, cfg.data.batch_size,
+                                num_workers=cfg.data.num_workers):
+        out = infer_fn(params, {
+            "image": jnp.asarray(batch["image"]),
+            "part_masks": jnp.asarray(batch["gt_part_masks"]),
+            "part_labels": jnp.asarray(batch["gt_part_labels"]),
+            "part_valid": jnp.asarray(batch["gt_valid"]),
+            "object_masks": jnp.asarray(batch["object_mask"])[:, None],
+            "object_valid": jnp.ones((batch["object_mask"].shape[0], 1), bool),
+        })
+        bv = batch["batch_valid"]
+        evaluator.process(
+            {k: np.asarray(out[k])[bv] for k in ("pred_masks", "scores", "valid")},
+            batch["gt_part_masks"][bv], batch["gt_valid"][bv])
+    return evaluator.evaluate()
+
+
+def cmd_eval_proposal(args):
+    """Stage-3 AR eval entry point (part_proposal_train_net.py:90-126)."""
+    cfg = _setup(args)
+    import jax
+    import jax.numpy as jnp
+
+    from .models.meta_arch.proposal import ProposalModelConfig, normalize_images
+    from .models.segmenter import MaskFormerSegmenter
+
+    ds = _load_eval_items(cfg, args)
+    seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
+    model_cfg = ProposalModelConfig(
+        segmenter=seg, test_topk=min(args.topk, args.num_queries),
+        use_unique_per_pixel_label=not args.no_unique_assignment)
+    model = MaskFormerSegmenter(seg)
+    size = cfg.data.image_size
+    params = _restore_params(
+        args.params,
+        lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
+                                    normalize_images(jnp.zeros((1, size, size, 3)))),
+        trainer_dir=args.trainer_checkpoint)
+    metrics = _proposal_ar_eval(cfg, args, model_cfg, params, ds)
+    from .engine.metrics import print_csv_format
+
+    print_csv_format(metrics, task="eval-proposal")
+    print(json.dumps({"stage": "eval-proposal", "dataset": ds["name"], **metrics}))
 
 
 # ---------------------------------------------------------------- stage 4
@@ -462,14 +688,55 @@ def cmd_rank(args):
     from .utils import rle as rle_codec
 
     phases = args.phases.split(",")
-    base = _imagenet_items(cfg, args)
-    items = load_imagenet_with_proposals(
-        base, cfg.paths.proposals_dcrf if not args.raw_proposals
-        else cfg.paths.proposals)
-    num_obj = args.num_object_classes or (
-        1 + max((it["class_id"] for it in items), default=0))
-    logger.info("stage 4: %d items, %d object classes, phases=%s",
-                len(items), num_obj, phases)
+    eval_dataset = getattr(args, "eval_dataset", "part_imagenet")
+    on_eval_set = eval_dataset != "part_imagenet"
+    ds = None
+
+    if on_eval_set:
+        # Pascal/Cityscapes: the whole modal pipeline (cluster -> match ->
+        # eval) runs over the GT dataset with dataset-local class ids, as the
+        # reference does per TEST dataset; "save" (imagenet pseudo-labels)
+        # does not apply.
+        if "save" in phases:
+            raise SystemExit(f"--phases save not supported with "
+                             f"--eval-dataset {eval_dataset}")
+        from .data.mappers import PartEvalMapper
+
+        ds = _load_eval_items(cfg, args)
+        num_obj = args.num_object_classes or ds["num_obj_classes"]
+        items = _assign_eval_class_ids(cfg, ds, num_obj)
+        # cluster-phase input: GT part instances play the proposal role
+        eval_mapper = PartEvalMapper(image_size=cfg.data.image_size,
+                                     capacity=cfg.data.mask_capacity,
+                                     **ds["mapper_kwargs"])
+
+        def mapper(item):
+            ex = eval_mapper(item)
+            if ex is None:
+                return None
+            return {"image": ex["image"], "object_mask": ex["object_mask"],
+                    "part_masks": ex["gt_part_masks"],
+                    "part_valid": ex["gt_valid"],
+                    "image_id": ex["image_id"], "class_id": ex["object_class"]}
+    else:
+        base = _imagenet_items(cfg, args)
+        items = load_imagenet_with_proposals(
+            base, cfg.paths.proposals_dcrf if not args.raw_proposals
+            else cfg.paths.proposals)
+        num_obj = args.num_object_classes
+        if num_obj is None:
+            # every host must agree on the bank size, and _imagenet_items
+            # partitions classes per host — derive from the GLOBAL vocabulary
+            from .data.datasets.imagenet import global_code_to_id
+
+            try:
+                num_obj = len(global_code_to_id(cfg.data.imagenet_root))
+            except FileNotFoundError:
+                num_obj = 1 + max((it["class_id"] for it in items), default=0)
+        mapper = PartRankingMapper(image_size=cfg.data.image_size,
+                                   capacity=cfg.data.mask_capacity)
+    logger.info("stage 4: %d items, %d object classes, phases=%s, dataset=%s",
+                len(items), num_obj, phases, eval_dataset)
 
     seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
     rank_cfg = PartRankingConfig(segmenter=seg, num_clusters=args.num_clusters,
@@ -479,9 +746,10 @@ def cmd_rank(args):
     params = _restore_params(
         args.params,
         lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
-                                    normalize_images(jnp.zeros((1, size, size, 3)))))
-    mapper = PartRankingMapper(image_size=size, capacity=cfg.data.mask_capacity)
-    centroid_path = os.path.join(cfg.checkpoint_dir, "rank_centroids.npz")
+                                    normalize_images(jnp.zeros((1, size, size, 3)))),
+        trainer_dir=args.trainer_checkpoint)
+    suffix = f"_{eval_dataset}" if on_eval_set else ""
+    centroid_path = os.path.join(cfg.checkpoint_dir, f"rank_centroids{suffix}.npz")
 
     def batches():
         return batch_iterator(items, mapper, cfg.data.batch_size,
@@ -548,51 +816,36 @@ def cmd_rank(args):
         logger.info("stage 4 save: %d records", n_saved)
 
     if "match" in phases or "eval" in phases:
-        _rank_match_eval(cfg, args, rank_cfg, params, centroid_path, phases, num_obj)
+        _rank_match_eval(cfg, args, rank_cfg, params, centroid_path, phases,
+                         num_obj, ds=ds)
 
-    print(json.dumps({"stage": "rank", "phases": phases}))
+    print(json.dumps({"stage": "rank", "phases": phases,
+                      "dataset": eval_dataset}))
 
 
-def _rank_match_eval(cfg, args, rank_cfg, params, centroid_path, phases, num_obj):
-    """Match (majority-vote mapping) and eval (mIoU) on a GT part dataset."""
+def _rank_match_eval(cfg, args, rank_cfg, params, centroid_path, phases, num_obj,
+                     ds=None):
+    """Match (majority-vote mapping) and eval (mIoU) on a GT part dataset.
+
+    ``--eval-dataset`` selects PartImageNet / Pascal-Parts / Cityscapes-Part
+    (the reference's TEST-set lists, part_ranking_train_net.py).
+    """
     import jax
     import jax.numpy as jnp
 
-    from .data.datasets.part_imagenet import load_part_imagenet
     from .data.loader import batch_iterator
     from .data.mappers import PartEvalMapper
     from .evaluation.miou import MIoUEvaluator, MIoUMatcher
     from .models.meta_arch.part_ranking import RankingMode, make_label_fn
 
-    items = load_part_imagenet(cfg.data.part_imagenet_json,
-                               cfg.data.part_imagenet_images,
-                               debug_limit=cfg.data.debug_limit)
-    # Object-class ids must be the ImageNet-root GLOBAL vocabulary — the ids
-    # the centroid bank (cluster phase) and vote mapping are indexed by. Eval
-    # synsets outside the vocabulary (or beyond the configured bank size)
-    # cannot be scored and are dropped.
-    from .data.datasets.imagenet import global_code_to_id
-
-    try:
-        code_to_id = global_code_to_id(cfg.data.imagenet_root)
-    except FileNotFoundError:
-        code_to_id = {}
-    if not code_to_id:
-        logger.warning("imagenet_root unavailable; falling back to eval-local "
-                       "class ids (only valid if the eval set's sorted codes "
-                       "match the training vocabulary)")
-        codes = sorted({it["class_code"] for it in items})
-        code_to_id = {c: i for i, c in enumerate(codes)}
-    n_before = len(items)
-    items = [it for it in items
-             if code_to_id.get(it["class_code"], num_obj) < num_obj]
-    if len(items) < n_before:
-        logger.warning("rank match/eval: dropped %d items outside the %d-class "
-                       "object vocabulary", n_before - len(items), num_obj)
-    for it in items:
-        it["class_id"] = code_to_id[it["class_code"]]
-    n_gt_parts = args.num_gt_parts
-    mapper = PartEvalMapper(image_size=cfg.data.image_size, capacity=16)
+    if ds is None:
+        ds = _load_eval_items(cfg, args)
+    items = _assign_eval_class_ids(cfg, ds, num_obj)
+    n_gt_parts = ds["n_gt_parts"]
+    suffix = "" if ds["name"] == "part_imagenet" else f"_{ds['name']}"
+    mapping_path = os.path.join(cfg.checkpoint_dir, f"rank_mapping{suffix}.npz")
+    mapper = PartEvalMapper(image_size=cfg.data.image_size, capacity=16,
+                            **ds["mapper_kwargs"])
     centroids = jnp.asarray(np.load(centroid_path)["centroids"])
 
     def run(mode, mapping=None):
@@ -628,15 +881,13 @@ def _rank_match_eval(cfg, args, rank_cfg, params, centroid_path, phases, num_obj
         from .engine.launch import barrier, is_main_process
 
         if is_main_process():
-            np.savez(os.path.join(cfg.checkpoint_dir, "rank_mapping.npz"),
-                     mapping=mapping_arr)
+            np.savez(mapping_path, mapping=mapping_arr)
         barrier("rank_mapping_written")
         logger.info("stage 4 match: mapping for %d classes", len(votes))
 
     if "eval" in phases:
         if mapping_arr is None:
-            mapping_arr = np.load(
-                os.path.join(cfg.checkpoint_dir, "rank_mapping.npz"))["mapping"]
+            mapping_arr = np.load(mapping_path)["mapping"]
         evaluator = MIoUEvaluator(gt_classes=n_gt_parts,
                                   distributed=jax.process_count() > 1)
         for batch, out in run(RankingMode.EVAL, jnp.asarray(mapping_arr)):
@@ -649,28 +900,227 @@ def _rank_match_eval(cfg, args, rank_cfg, params, centroid_path, phases, num_obj
 
         print_csv_format(metrics, task="rank-eval")
         print(json.dumps({"stage": "rank-eval", **metrics}))
+        return metrics
+    return None
+
+
+# ---------------------------------------------------------------- stage 5 save/eval
+
+
+def _distill_setup(cfg, args):
+    """Model cfg + params for stage-5 inference (save/eval entry points)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .losses.criterion import CriterionConfig
+    from .losses.matcher import MatcherConfig
+    from .models.meta_arch.part_distillation import PartDistillationConfig
+    from .models.meta_arch.proposal import normalize_images
+    from .models.segmenter import MaskFormerSegmenter
+
+    num_obj = args.num_object_classes
+    seg = _segmenter_cfg(args.tiny, num_classes=args.num_parts,
+                         num_queries=args.num_queries,
+                         num_object_classes=num_obj, num_parts=args.num_parts)
+    model_cfg = PartDistillationConfig(
+        segmenter=seg,
+        criterion=CriterionConfig(num_classes=args.num_parts,
+                                  matcher=MatcherConfig()),
+        num_parts=args.num_parts,
+        test_topk=min(args.topk, args.num_queries * args.num_parts))
+    model = MaskFormerSegmenter(seg)
+    size = cfg.data.image_size
+    params = _restore_params(
+        args.params,
+        lambda: jax.jit(model.init)(
+            jax.random.PRNGKey(cfg.seed),
+            normalize_images(jnp.zeros((1, size, size, 3))),
+            gt_object_class=jnp.zeros((1,), jnp.int32)),
+        trainer_dir=args.trainer_checkpoint)
+    return model_cfg, params
+
+
+def cmd_distill_save(args):
+    """Stage-5 save pass: run the trained PartDistillation model over the
+    stage-4 dataset and write final part predictions to ``paths.predictions``
+    (part_distillation_model.py:290-311)."""
+    cfg = _setup(args)
+    import jax
+    import jax.numpy as jnp
+
+    from .data.datasets.imagenet import load_imagenet_with_segmentation
+    from .data.loader import batch_iterator
+    from .data.mappers import PartDistillationSaveMapper
+    from .data.pseudo_store import ShardWriter
+    from .models.meta_arch.part_distillation import make_inference_fn
+    from .utils import rle as rle_codec
+
+    base = _imagenet_items(cfg, args)
+    items = load_imagenet_with_segmentation(base, cfg.paths.part_masks_with_class)
+    shard, num_shards = _shard_id(args)
+    writer = ShardWriter(cfg.paths.predictions, shard, num_shards)
+    items = [it for it in items if it["image_id"] not in writer]
+    logger.info("stage 5 save: %d images to process", len(items))
+
+    model_cfg, params = _distill_setup(cfg, args)
+    infer_fn = jax.jit(make_inference_fn(model_cfg, mode="save"))
+    mapper = PartDistillationSaveMapper(image_size=cfg.data.image_size,
+                                        capacity=cfg.data.mask_capacity)
+    n_saved, n_batches, t0 = 0, 0, time.perf_counter()
+    for batch in batch_iterator(items, mapper, cfg.data.batch_size,
+                                num_workers=cfg.data.num_workers):
+        out = infer_fn(params, {
+            "image": jnp.asarray(batch["image"]),
+            "gt_object_class": jnp.asarray(batch["gt_object_class"]),
+            "part_masks": jnp.asarray(batch["part_masks"]),
+            "part_labels": jnp.asarray(batch["part_labels"]),
+            "part_valid": jnp.asarray(batch["part_valid"]),
+            "object_masks": jnp.asarray(batch["object_mask"])[:, None],
+            "object_valid": jnp.ones((batch["object_mask"].shape[0], 1), bool),
+        })
+        pm = np.asarray(out["pred_masks"])
+        sc = np.asarray(out["scores"])
+        lb = np.asarray(out["pred_labels"])
+        va = np.asarray(out["valid"])
+        for b in range(pm.shape[0]):
+            if not batch["batch_valid"][b]:
+                continue
+            keep = np.nonzero(va[b])[0]
+            if keep.size == 0:
+                continue
+            n_saved += int(writer.write({
+                "image_id": str(batch["image_id"][b]),
+                "part_masks": [rle_codec.encode(pm[b, i]) for i in keep],
+                "part_labels": [int(lb[b, i]) for i in keep],
+                "part_scores": [float(sc[b, i]) for i in keep],
+                "object_class": int(batch["gt_object_class"][b]),
+            }))
+        n_batches += 1
+        if n_batches % 20 == 0:
+            writer.flush()
+    writer.close()
+    print(json.dumps({"stage": "distill-save", "saved": n_saved,
+                      "images_per_sec": round(n_saved / max(time.perf_counter() - t0, 1e-9), 3)}))
+
+
+def _distill_match_eval(cfg, args, model_cfg, params, phases, ds=None) -> Optional[dict]:
+    """Stage-5 match (majority-vote cluster->GT mapping) + eval (mIoU) on a GT
+    part dataset (part_distillation_model.py:470-472; miou_matcher/evaluator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.loader import batch_iterator
+    from .data.mappers import PartEvalMapper
+    from .evaluation.miou import MIoUEvaluator, MIoUMatcher
+    from .models.meta_arch.part_distillation import make_inference_fn
+
+    if ds is None:
+        ds = _load_eval_items(cfg, args)
+    num_obj = args.num_object_classes
+    items = _assign_eval_class_ids(cfg, ds, num_obj)
+    n_gt_parts = ds["n_gt_parts"]
+    suffix = "" if ds["name"] == "part_imagenet" else f"_{ds['name']}"
+    mapping_path = os.path.join(cfg.checkpoint_dir, f"distill_mapping{suffix}.npz")
+    mapper = PartEvalMapper(image_size=cfg.data.image_size, capacity=16,
+                            **ds["mapper_kwargs"])
+
+    def run(mode, mapping=None):
+        infer_fn = jax.jit(make_inference_fn(model_cfg, mode=mode))
+        for batch in batch_iterator(items, mapper, cfg.data.batch_size,
+                                    num_workers=cfg.data.num_workers):
+            out = infer_fn(params, {
+                "image": jnp.asarray(batch["image"]),
+                "gt_object_class": jnp.asarray(batch["object_class"]),
+                "part_masks": jnp.asarray(batch["gt_part_masks"]),
+                "part_labels": jnp.asarray(batch["gt_part_labels"]),
+                "part_valid": jnp.asarray(batch["gt_valid"]),
+                "object_masks": jnp.asarray(batch["object_mask"])[:, None],
+                "object_valid": jnp.ones((batch["object_mask"].shape[0], 1), bool),
+            }, mapping)
+            yield batch, {k: np.asarray(v) for k, v in out.items()}
+
+    mapping_arr = None
+    if "match" in phases:
+        matcher = MIoUMatcher(pred_classes=model_cfg.num_parts,
+                              gt_classes=n_gt_parts,
+                              distributed=jax.process_count() > 1)
+        for batch, out in run("save"):
+            bv = batch["batch_valid"]
+            matcher.process({k: v[bv] for k, v in out.items()},
+                            batch["gt_part_masks"][bv], batch["gt_part_labels"][bv],
+                            batch["gt_valid"][bv], batch["object_class"][bv])
+        votes = matcher.evaluate()
+        mapping_arr = np.zeros((num_obj, model_cfg.num_parts), np.int32)
+        for c, vote in votes.items():
+            mapping_arr[c] = vote[: model_cfg.num_parts]
+        from .engine.launch import barrier, is_main_process
+
+        if is_main_process():
+            os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+            np.savez(mapping_path, mapping=mapping_arr)
+        barrier("distill_mapping_written")
+        logger.info("stage 5 match: mapping for %d classes", len(votes))
+
+    if "eval" in phases:
+        if mapping_arr is None:
+            mapping_arr = np.load(mapping_path)["mapping"]
+        evaluator = MIoUEvaluator(gt_classes=n_gt_parts,
+                                  distributed=jax.process_count() > 1)
+        for batch, out in run("eval", jnp.asarray(mapping_arr)):
+            bv = batch["batch_valid"]
+            evaluator.process({k: v[bv] for k, v in out.items()},
+                              batch["gt_part_masks"][bv], batch["gt_part_labels"][bv],
+                              batch["gt_valid"][bv], batch["object_class"][bv])
+        return evaluator.evaluate()
+    return None
+
+
+def cmd_distill_eval(args):
+    """Stage-5 mIoU eval entry point (match + eval phases)."""
+    cfg = _setup(args)
+    phases = args.phases.split(",")
+    ds = _load_eval_items(cfg, args)
+    model_cfg, params = _distill_setup(cfg, args)
+    metrics = _distill_match_eval(cfg, args, model_cfg, params, phases, ds)
+    out = {"stage": "distill-eval", "dataset": ds["name"], "phases": phases}
+    if metrics is not None:
+        from .engine.metrics import print_csv_format
+
+        print_csv_format(metrics, task="distill-eval")
+        out.update(metrics)
+    print(json.dumps(out))
 
 
 # ---------------------------------------------------------------- ablation
 
 
 def _supervised_setup(cfg, args):
-    """Shared by train/eval-supervised: items + model cfg + params."""
+    """Shared by train/eval-supervised: items + model cfg + params.
+
+    ``--eval-dataset`` selects the GT part dataset (the reference trains and
+    evaluates the supervised ablation on PartImageNet, Pascal-Parts, and
+    Cityscapes-Part — sh_files/supervised_learning/semseg/pascal.sh).
+    Fewshot ``--label-percentage`` subsets images with fixed seed 1234
+    (register_part_imagenet.py:15-29).
+    """
     import jax
     import jax.numpy as jnp
 
-    from .data.datasets.part_imagenet import load_part_imagenet
     from .losses.criterion import CriterionConfig
     from .losses.matcher import MatcherConfig
     from .models.meta_arch.proposal import normalize_images
     from .models.meta_arch.supervised import SupervisedModelConfig
     from .models.segmenter import MaskFormerSegmenter
 
-    items = load_part_imagenet(cfg.data.part_imagenet_json,
-                               cfg.data.part_imagenet_images,
-                               label_percentage=args.label_percentage,
-                               debug_limit=cfg.data.debug_limit)
-    n_cls = args.num_part_classes
+    ds = _load_eval_items(cfg, args)
+    items = ds["items"]
+    if args.label_percentage is not None and args.label_percentage < 100.0:
+        rng = np.random.RandomState(1234)
+        n_keep = max(1, int(round(len(items) * args.label_percentage / 100.0)))
+        keep = rng.permutation(len(items))[:n_keep]
+        items = [items[i] for i in sorted(keep)]
+    n_cls = (args.num_part_classes if ds["name"] == "part_imagenet"
+             else ds["n_gt_parts"])
     train_classes = 1 if args.class_agnostic else n_cls
     seg = _segmenter_cfg(args.tiny, num_classes=train_classes,
                          num_queries=args.num_queries)
@@ -710,8 +1160,36 @@ def _supervised_setup(cfg, args):
     params = _restore_params(
         args.params,
         lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
-                                    normalize_images(jnp.zeros((1, size, size, 3)))))
-    return items, model_cfg, params
+                                    normalize_images(jnp.zeros((1, size, size, 3)))),
+        trainer_dir=getattr(args, "trainer_checkpoint", None))
+    return items, model_cfg, params, ds
+
+
+def _supervised_eval(cfg, args, model_cfg, params, ds, items=None) -> dict:
+    """SupervisedModel mIoU on the GT dataset (supervised_miou_evaluator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.loader import batch_iterator
+    from .data.mappers import PartEvalMapper
+    from .evaluation.miou import SupervisedMIoUEvaluator
+    from .models.meta_arch.supervised import make_inference_fn
+
+    mapper = PartEvalMapper(image_size=cfg.data.image_size, capacity=16,
+                            **ds["mapper_kwargs"])
+    infer_fn = jax.jit(make_inference_fn(model_cfg))
+    evaluator = SupervisedMIoUEvaluator(gt_classes=model_cfg.num_part_classes,
+                                        distributed=jax.process_count() > 1)
+    for batch in batch_iterator(items if items is not None else ds["items"],
+                                mapper, cfg.data.batch_size,
+                                num_workers=cfg.data.num_workers):
+        out = infer_fn(params, {"image": jnp.asarray(batch["image"]),
+                                "object_mask": jnp.asarray(batch["object_mask"])})
+        bv = batch["batch_valid"]
+        evaluator.process({k: np.asarray(v)[bv] for k, v in out.items()},
+                          batch["gt_part_masks"][bv], batch["gt_part_labels"][bv],
+                          batch["gt_valid"][bv], batch["object_class"][bv])
+    return evaluator.evaluate()
 
 
 def cmd_train_supervised(args):
@@ -724,13 +1202,14 @@ def cmd_train_supervised(args):
     from .engine.trainer import Trainer
     from .models.meta_arch.supervised import make_loss_fn
 
-    items, model_cfg, params = _supervised_setup(cfg, args)
+    items, model_cfg, params, ds = _supervised_setup(cfg, args)
     items = host_shard(items)
-    logger.info("supervised: %d train items (label %% = %s)",
-                len(items), args.label_percentage)
+    logger.info("supervised: %d train items on %s (label %% = %s)",
+                len(items), ds["name"], args.label_percentage)
 
     gt_mapper = PartEvalMapper(image_size=cfg.data.image_size,
-                               capacity=cfg.data.mask_capacity)
+                               capacity=cfg.data.mask_capacity,
+                               **ds["mapper_kwargs"])
 
     def mapper(item):
         ex = gt_mapper(item)
@@ -752,37 +1231,21 @@ def cmd_train_supervised(args):
     loader = DataLoader(items, mapper, cfg.data.batch_size, shuffle=True,
                         seed=cfg.seed, epochs=None,
                         num_workers=cfg.data.num_workers, drop_last=True)
-    stats = _train_loop(cfg, trainer, loader, "train-supervised")
+    eval_fn = None
+    if cfg.eval_every > 0:
+        eval_fn = lambda p: _supervised_eval(cfg, args, model_cfg, p, ds)  # noqa: E731
+    stats = _train_loop(cfg, trainer, loader, "train-supervised", eval_fn=eval_fn)
     print(json.dumps({"stage": "train-supervised", **stats}))
 
 
 def cmd_eval_supervised(args):
     cfg = _setup(args)
-    import jax
-    import jax.numpy as jnp
-
-    from .data.loader import batch_iterator
-    from .data.mappers import PartEvalMapper
-    from .evaluation.miou import SupervisedMIoUEvaluator
-    from .models.meta_arch.supervised import make_inference_fn
-
-    items, model_cfg, params = _supervised_setup(cfg, args)
-    mapper = PartEvalMapper(image_size=cfg.data.image_size, capacity=16)
-    infer_fn = jax.jit(make_inference_fn(model_cfg))
-    evaluator = SupervisedMIoUEvaluator(gt_classes=args.num_part_classes)
-    for batch in batch_iterator(items, mapper, cfg.data.batch_size,
-                                num_workers=cfg.data.num_workers):
-        out = infer_fn(params, {"image": jnp.asarray(batch["image"]),
-                                "object_mask": jnp.asarray(batch["object_mask"])})
-        bv = batch["batch_valid"]
-        evaluator.process({k: np.asarray(v)[bv] for k, v in out.items()},
-                          batch["gt_part_masks"][bv], batch["gt_part_labels"][bv],
-                          batch["gt_valid"][bv], batch["object_class"][bv])
+    items, model_cfg, params, ds = _supervised_setup(cfg, args)
+    metrics = _supervised_eval(cfg, args, model_cfg, params, ds, items=items)
     from .engine.metrics import print_csv_format
 
-    metrics = evaluator.evaluate()
     print_csv_format(metrics, task="eval-supervised")
-    print(json.dumps({"stage": "eval-supervised", **metrics}))
+    print(json.dumps({"stage": "eval-supervised", "dataset": ds["name"], **metrics}))
 
 
 # ---------------------------------------------------------------- eval
@@ -890,6 +1353,17 @@ def _add_common(p):
     p.add_argument("--num-shards", type=int, default=None)
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
     p.add_argument("--params", default=None, help="orbax params checkpoint")
+    p.add_argument("--trainer-checkpoint", default=None,
+                   help="stage Trainer checkpoint dir (loads latest step's params)")
+
+
+def _add_eval_dataset(p):
+    p.add_argument("--eval-dataset", default="part_imagenet",
+                   choices=["part_imagenet", "pascal", "cityscapes"],
+                   help="GT part dataset for evaluation")
+    p.add_argument("--num-gt-parts", type=int, default=40,
+                   help="GT part-label space (part_imagenet only; "
+                        "pascal/cityscapes derive it from the dataset)")
 
 
 def build_parser():
@@ -919,6 +1393,7 @@ def build_parser():
 
     p = sub.add_parser("train-proposal", help="stage 3: proposal learning")
     _add_common(p)
+    _add_eval_dataset(p)
     p.add_argument("--num-queries", type=int, default=200)
     p.add_argument("--freeze-trunk", action="store_true", default=True)
     p.add_argument("--no-freeze-trunk", dest="freeze_trunk", action="store_false")
@@ -926,27 +1401,58 @@ def build_parser():
                    help="train on raw stage-2 output (skip dCRF)")
     p.set_defaults(fn=cmd_train_proposal)
 
+    p = sub.add_parser("eval-proposal",
+                       help="stage-3 AR eval of the trained ProposalModel")
+    _add_common(p)
+    _add_eval_dataset(p)
+    p.add_argument("--num-queries", type=int, default=200)
+    p.add_argument("--topk", type=int, default=200)
+    p.add_argument("--no-unique-assignment", action="store_true")
+    p.set_defaults(fn=cmd_eval_proposal)
+
     p = sub.add_parser("rank", help="stage 4: part ranking")
     _add_common(p)
+    _add_eval_dataset(p)
     p.add_argument("--phases", default="cluster,save")
     p.add_argument("--num-clusters", type=int, default=8)
     p.add_argument("--num-queries", type=int, default=200)
     p.add_argument("--num-object-classes", type=int, default=None)
-    p.add_argument("--num-gt-parts", type=int, default=40)
     p.add_argument("--raw-proposals", action="store_true")
     p.set_defaults(fn=cmd_rank)
 
     p = sub.add_parser("train-distillation", help="stage 5: self-training")
     _add_common(p)
+    _add_eval_dataset(p)
     p.add_argument("--num-queries", type=int, default=200)
     p.add_argument("--num-parts", type=int, default=8)
     p.add_argument("--num-object-classes", type=int, default=22000)
     p.set_defaults(fn=cmd_train_distillation)
 
+    p = sub.add_parser("distill-save",
+                       help="stage-5 save pass -> paths.predictions")
+    _add_common(p)
+    p.add_argument("--num-queries", type=int, default=200)
+    p.add_argument("--num-parts", type=int, default=8)
+    p.add_argument("--num-object-classes", type=int, default=22000)
+    p.add_argument("--topk", type=int, default=200)
+    p.set_defaults(fn=cmd_distill_save)
+
+    p = sub.add_parser("distill-eval",
+                       help="stage-5 mIoU eval (match + eval phases)")
+    _add_common(p)
+    _add_eval_dataset(p)
+    p.add_argument("--phases", default="match,eval")
+    p.add_argument("--num-queries", type=int, default=200)
+    p.add_argument("--num-parts", type=int, default=8)
+    p.add_argument("--num-object-classes", type=int, default=22000)
+    p.add_argument("--topk", type=int, default=200)
+    p.set_defaults(fn=cmd_distill_eval)
+
     for name, fn in (("train-supervised", cmd_train_supervised),
                      ("eval-supervised", cmd_eval_supervised)):
         p = sub.add_parser(name, help="supervised/fewshot ablation")
         _add_common(p)
+        _add_eval_dataset(p)
         p.add_argument("--num-queries", type=int, default=200)
         p.add_argument("--num-part-classes", type=int, default=40)
         p.add_argument("--class-agnostic", action="store_true")

@@ -51,11 +51,34 @@ def pipeline_env(tmp_path_factory):
                     "class_ids": [ci, 1 - ci],
                 })
 
+    # synthetic PartImageNet-style GT (same images, COCO part polygons) for
+    # the eval entry points; synset codes match the imagenet root so the
+    # global-vocabulary mapping resolves
+    images, annotations = [], []
+    aid = 0
+    for ci, code in enumerate(["n01440764", "n01443537"]):
+        for j in range(4):
+            iid = ci * 4 + j
+            images.append({"id": iid, "file_name": f"{code}/{code}_{j}.JPEG",
+                           "height": 64, "width": 64})
+            for p in range(2):
+                annotations.append({
+                    "id": aid, "image_id": iid, "category_id": (ci + p) % 3,
+                    "segmentation": [[12.0 + 18 * p, 16.0, 30.0 + 18 * p, 16.0,
+                                      30.0 + 18 * p, 52.0, 12.0 + 18 * p, 52.0]]})
+                aid += 1
+    part_json = tmp / "part_imagenet.json"
+    part_json.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": c, "name": f"part{c}"} for c in range(3)]}))
+
     cfgdir = tmp / "work"
     cfgdir.mkdir()
     os.chdir(str(cfgdir))
     overrides = [
         f"data.imagenet_root={root}",
+        f"data.part_imagenet_json={part_json}",
+        f"data.part_imagenet_images={root}",
         "data.image_size=64",
         "data.batch_size=4",
         "data.mask_capacity=8",
@@ -69,10 +92,23 @@ def pipeline_env(tmp_path_factory):
     return {"tmp": tmp, "root": root, "det": det_dir, "overrides": overrides}
 
 
-def _run(argv, capsys):
+def _run(argv, capsys, stage=None):
+    """Run the CLI; return the last JSON line (or the one whose "stage"
+    matches, for subcommands that print per-phase results)."""
     cli.main(argv)
     out = capsys.readouterr().out.strip().splitlines()
-    return json.loads(out[-1])
+    results = []
+    for line in out:
+        try:
+            results.append(json.loads(line))
+        except (ValueError, TypeError):
+            continue
+    if stage is not None:
+        for r in results:
+            if r.get("stage") == stage:
+                return r
+        raise AssertionError(f"no JSON line with stage={stage!r} in {out}")
+    return results[-1]
 
 
 def test_stage1_label(pipeline_env, capsys):
@@ -134,12 +170,69 @@ def test_stage4_rank_cluster_save(pipeline_env, capsys):
     assert all(0 <= l < 3 for l in rec["part_labels"])
 
 
+def test_stage3_eval_proposal(pipeline_env, capsys):
+    """Trained-proposal AR eval entry point (part_proposal_train_net.py:90-126):
+    loads the stage-3 trainer checkpoint and prints AR@k."""
+    ov = pipeline_env["overrides"]
+    res = _run(["eval-proposal", "--tiny", "--num-queries", "8", "--topk", "8",
+                "--trainer-checkpoint",
+                str(pipeline_env["tmp"] / "ckpt/proposal"),
+                "--set", *ov], capsys)
+    assert res["dataset"] == "part_imagenet"
+    assert "AR@1" in res and np.isfinite(res["AR@1"])
+    assert res["# instances"] == 8
+
+
+def test_stage4_rank_match_eval(pipeline_env, capsys):
+    """Majority-vote matching + mIoU eval phases on the GT part set."""
+    ov = pipeline_env["overrides"]
+    res = _run(["rank", "--tiny", "--num-queries", "8", "--num-clusters", "3",
+                "--phases", "match,eval", "--num-gt-parts", "3",
+                "--set", *ov], capsys, stage="rank-eval")
+    assert res["stage"] == "rank-eval"
+    assert np.isfinite(res["C-mIoU"])
+    mapping = np.load(str(pipeline_env["tmp"] / "ckpt/rank_mapping.npz"))["mapping"]
+    assert mapping.shape == (2, 3)
+    assert ((mapping >= 0) & (mapping < 3)).all()
+
+
 def test_stage5_train_distillation(pipeline_env, capsys):
     ov = pipeline_env["overrides"]
     res = _run(["train-distillation", "--tiny", "--num-queries", "8",
                 "--num-parts", "3", "--num-object-classes", "4",
                 "--set", *ov], capsys)
     assert res["steps"] >= 2
+
+
+def test_stage5_distill_save(pipeline_env, capsys):
+    """Stage-5 save pass writes final predictions to paths.predictions
+    (part_distillation_model.py:290-311)."""
+    ov = pipeline_env["overrides"]
+    res = _run(["distill-save", "--tiny", "--num-queries", "8",
+                "--num-parts", "3", "--num-object-classes", "4", "--topk", "8",
+                "--trainer-checkpoint",
+                str(pipeline_env["tmp"] / "ckpt/part_distillation"),
+                "--set", *ov], capsys)
+    assert res["saved"] == 8
+    store = PseudoLabelStore(
+        str(pipeline_env["tmp"] / "pseudo_labels/part_distillation_predictions"))
+    assert len(store) == 8
+    rec = next(iter(store))
+    assert len(rec["part_masks"]) == len(rec["part_labels"]) == len(rec["part_scores"])
+    assert all(0 <= l < 3 for l in rec["part_labels"])
+
+
+def test_stage5_distill_eval(pipeline_env, capsys):
+    """Stage-5 match+eval: majority-vote mapping then mIoU on GT parts
+    (part_distillation_model.py:470-472)."""
+    ov = pipeline_env["overrides"]
+    res = _run(["distill-eval", "--tiny", "--num-queries", "8",
+                "--num-parts", "3", "--num-object-classes", "4", "--topk", "8",
+                "--num-gt-parts", "3", "--set", *ov], capsys)
+    assert res["stage"] == "distill-eval"
+    assert np.isfinite(res["C-mIoU"])
+    mapping = np.load(str(pipeline_env["tmp"] / "ckpt/distill_mapping.npz"))["mapping"]
+    assert mapping.shape == (4, 3)
 
 
 def test_config_presets_load():

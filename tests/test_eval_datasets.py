@@ -1,0 +1,202 @@
+"""Pascal-Parts and Cityscapes-Part evaluation wiring through the CLI.
+
+Synthetic fixtures in the real on-disk formats — VOC ``.mat`` annotation
+structs (scipy savemat roundtrip) and 32-bit panoptic-parts uid PNGs — drive
+the ``--eval-dataset`` switch of the eval entry points (the reference's
+Pascal/Cityscapes TEST sets: sh_files/supervised_learning/semseg/pascal.sh,
+part_ranking_train_net.py TEST lists).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from partdistillation_tpu import run as cli
+
+
+def _json_lines(capsys, stage=None):
+    out = capsys.readouterr().out.strip().splitlines()
+    results = []
+    for line in out:
+        try:
+            results.append(json.loads(line))
+        except (ValueError, TypeError):
+            continue
+    if stage is not None:
+        for r in results:
+            if r.get("stage") == stage:
+                return r
+        raise AssertionError(f"no stage={stage!r} in {out}")
+    return results[-1]
+
+
+@pytest.fixture(scope="module")
+def pascal_env(tmp_path_factory):
+    import scipy.io as sio
+    from PIL import Image
+
+    tmp = tmp_path_factory.mktemp("pascal")
+    ann = tmp / "Annotations_Part"
+    imgs = tmp / "JPEGImages"
+    ann.mkdir()
+    imgs.mkdir()
+    rng = np.random.RandomState(0)
+
+    def mask(y0, y1, x0, x1):
+        m = np.zeros((64, 64), np.uint8)
+        m[y0:y1, x0:x1] = 1
+        return m
+
+    for i, cls in enumerate(["dog", "dog", "cat", "cat"]):
+        image_id = f"2008_{i:06d}"
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        img[8:56, 8:56] = [200, 120, 60]
+        Image.fromarray(img).save(str(imgs / f"{image_id}.jpg"))
+        obj = {
+            "class": cls,
+            "mask": mask(8, 56, 8, 56),
+            "parts": [
+                {"part_name": "head", "mask": mask(8, 28, 8, 56)},
+                {"part_name": "lfleg", "mask": mask(28, 56, 8, 30)},
+                {"part_name": "rbleg", "mask": mask(28, 56, 34, 56)},
+            ],
+        }
+        sio.savemat(str(ann / f"{image_id}.mat"), {"anno": {"objects": [obj]}})
+
+    overrides = [
+        f"data.pascal_parts_annotations={ann}",
+        f"data.pascal_parts_images={imgs}",
+        "data.image_size=64", "data.batch_size=2", "data.mask_capacity=8",
+        "data.num_workers=2",
+        f"checkpoint_dir={tmp}/ckpt", "max_iters=2", "log_every=1",
+        "checkpoint_every=1000",
+    ]
+    return {"tmp": tmp, "overrides": overrides}
+
+
+@pytest.fixture(scope="module")
+def cityscapes_env(tmp_path_factory):
+    from PIL import Image
+
+    tmp = tmp_path_factory.mktemp("cityscapes")
+    labels = tmp / "gtFinePanopticParts" / "val" / "town"
+    images = tmp / "leftImg8bit" / "val" / "town"
+    labels.mkdir(parents=True)
+    images.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+
+    for i in range(2):
+        stem = f"town_{i:06d}_000019"
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        Image.fromarray(img).save(str(images / f"{stem}_leftImg8bit.png"))
+        uids = np.full((64, 64), 7, np.int32)  # background sid
+        # person (sid 24) instance 0 with parts 1, 2
+        uids[8:32, 8:32] = (24 * 1000 + 0) * 100 + 1
+        uids[8:32, 32:56] = (24 * 1000 + 0) * 100 + 2
+        # car (sid 26) instance 0 with part 1
+        uids[40:60, 8:56] = (26 * 1000 + 0) * 100 + 1
+        # uids exceed 16 bits — the real dataset ships 32-bit TIFFs
+        Image.fromarray(uids, mode="I").save(
+            str(labels / f"{stem}_gtFinePanopticParts.tif"))
+
+    overrides = [
+        f"data.cityscapes_part_labels={tmp}/gtFinePanopticParts",
+        f"data.cityscapes_images={tmp}/leftImg8bit",
+        "data.image_size=64", "data.batch_size=2", "data.mask_capacity=8",
+        "data.num_workers=2",
+        f"checkpoint_dir={tmp}/ckpt", "max_iters=2", "log_every=1",
+        "checkpoint_every=1000",
+    ]
+    return {"tmp": tmp, "overrides": overrides}
+
+
+def test_pascal_eval_supervised(pascal_env, capsys):
+    cli.main(["eval-supervised", "--tiny", "--num-queries", "8",
+              "--eval-dataset", "pascal", "--set", *pascal_env["overrides"]])
+    res = _json_lines(capsys)
+    assert res["dataset"] == "pascal"
+    assert np.isfinite(res["C-mIoU"])
+
+
+def test_pascal_eval_proposal(pascal_env, capsys):
+    cli.main(["eval-proposal", "--tiny", "--num-queries", "8", "--topk", "8",
+              "--eval-dataset", "pascal", "--set", *pascal_env["overrides"]])
+    res = _json_lines(capsys)
+    assert res["dataset"] == "pascal"
+    # 4 images x 3 part instances each
+    assert res["# instances"] == 4
+    assert np.isfinite(res["AR@1"])
+
+
+def test_pascal_rank_full_modal(pascal_env, capsys):
+    """cluster -> match -> eval over Pascal with dataset-local class ids (the
+    reference's per-dataset modal pipeline)."""
+    cli.main(["rank", "--tiny", "--num-queries", "8", "--num-clusters", "2",
+              "--phases", "cluster,match,eval", "--eval-dataset", "pascal",
+              "--set", *pascal_env["overrides"]])
+    res = _json_lines(capsys, stage="rank-eval")
+    assert np.isfinite(res["C-mIoU"])
+    cents = np.load(str(pascal_env["tmp"] / "ckpt/rank_centroids_pascal.npz"))["centroids"]
+    assert cents.shape == (2, 2, 32)  # (dog/cat, k, hidden)
+    mapping = np.load(str(pascal_env["tmp"] / "ckpt/rank_mapping_pascal.npz"))["mapping"]
+    # canonical part vocab: cat:head, cat:leg, dog:head, dog:leg (sides merged)
+    assert mapping.shape == (2, 2)
+    assert ((mapping >= 0) & (mapping < 4)).all()
+
+
+def test_pascal_rank_save_rejected(pascal_env, capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["rank", "--tiny", "--phases", "save",
+                  "--eval-dataset", "pascal", "--set", *pascal_env["overrides"]])
+
+
+def test_pascal_train_with_periodic_eval(pascal_env, capsys):
+    """eval_every runs the stage evaluator mid-training and logs eval/*
+    scalars to metrics.jsonl (TEST.EVAL_PERIOD parity, train_multi.sh:61)."""
+    tmp = pascal_env["tmp"]
+    ov = [o if not o.startswith("checkpoint_dir=") else
+          f"checkpoint_dir={tmp}/ckpt_train" for o in pascal_env["overrides"]]
+    cli.main(["train-supervised", "--tiny", "--num-queries", "8",
+              "--eval-dataset", "pascal", "--set", *ov, "eval_every=2"])
+    res = _json_lines(capsys)
+    assert res["steps"] >= 2
+    jsonl = tmp / "ckpt_train" / "logs" / "train-supervised" / "metrics.jsonl"
+    records = [json.loads(l) for l in jsonl.read_text().splitlines()]
+    eval_recs = [r for r in records if any(k.startswith("eval/") for k in r)]
+    assert eval_recs, "no periodic eval entries in metrics.jsonl"
+    assert np.isfinite(eval_recs[-1]["eval/C-mIoU"])
+
+
+def test_cityscapes_eval_supervised(cityscapes_env, capsys):
+    cli.main(["eval-supervised", "--tiny", "--num-queries", "8",
+              "--eval-dataset", "cityscapes",
+              "--set", *cityscapes_env["overrides"]])
+    res = _json_lines(capsys)
+    assert res["dataset"] == "cityscapes"
+    assert np.isfinite(res["C-mIoU"])
+
+
+def test_cityscapes_mapper_decodes_uids(cityscapes_env):
+    """The 32-bit uid PNG decodes through the eval mapper with global part ids
+    (PART_BASE_ID offsets) and per-sid item filtering."""
+    from partdistillation_tpu.data.datasets.cityscapes_part import load_cityscapes_part
+    from partdistillation_tpu.data.mappers import PartEvalMapper
+
+    tmp = cityscapes_env["tmp"]
+    raw = load_cityscapes_part(str(tmp / "gtFinePanopticParts"),
+                               str(tmp / "leftImg8bit"), split="val")
+    assert len(raw) == 2
+    mapper = PartEvalMapper(image_size=64, capacity=8)
+
+    person = mapper(dict(raw[0], sid=24, class_id=0))
+    labels = person["gt_part_labels"][person["gt_valid"]]
+    assert sorted(labels.tolist()) == [0, 1]  # person parts at base 0
+
+    car = mapper(dict(raw[0], sid=26, class_id=2))
+    labels = car["gt_part_labels"][car["gt_valid"]]
+    assert labels.tolist() == [8]  # car part 1 at base 8
+
+    rider = mapper(dict(raw[0], sid=25, class_id=1))
+    assert rider is None  # no rider in the image

@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -93,7 +94,8 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16):
 def main():
     # bs 16 fills the v5e better than the reference's 8/GPU (+12% measured);
     # halves on OOM below
-    batch_size = 16
+    target_batch = 16
+    batch_size = target_batch
     while batch_size >= 1:
         try:
             train_step, params, opt_state, batch = build(batch_size)
@@ -112,15 +114,25 @@ def main():
             jax.block_until_ready(loss)
             dt = time.perf_counter() - t0
             ips = batch_size * n_steps / dt
-            print(json.dumps({
+            result = {
                 "metric": "stage3_proposal_train_images_per_sec_per_chip",
                 "value": round(ips, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / 3.0, 3),
-            }))
+            }
+            if batch_size != target_batch:
+                # LOUD: a smaller batch is a different workload — a memory
+                # regression must not masquerade as a throughput number
+                result["oom_fallback_batch"] = batch_size
+                print(f"WARNING: bench OOM'd at batch {target_batch}, "
+                      f"measured batch {batch_size} instead — investigate the "
+                      "memory regression", file=sys.stderr)
+            print(json.dumps(result))
             return
         except Exception as e:  # noqa: BLE001 — OOM fallback
             if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                print(f"WARNING: batch {batch_size} OOM'd, retrying at "
+                      f"{batch_size // 2}", file=sys.stderr)
                 batch_size //= 2
                 continue
             raise

@@ -106,10 +106,14 @@ def load_imagenet(
       register_imagenet.py:49-55).
     """
     names = read_class_names(root)
-    codes = sorted(
-        d for d in os.listdir(root)
-        if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
-    )
+    # class ids are GLOBAL — assigned over the UNFILTERED sorted listing
+    # (exactly global_code_to_id), never over a filtered subset: every
+    # shard/host/filter combination must agree on code <-> id, because
+    # stages 4/5 key centroid banks and the part-classifier head by class_id
+    # across the whole dataset. Filters only narrow which classes are
+    # *enumerated*.
+    code_to_id = global_code_to_id(root)
+    codes = sorted(code_to_id)
     if single_class_code:
         codes = [c for c in codes if c == single_class_code]
     if class_list is not None:
@@ -118,11 +122,6 @@ def load_imagenet(
     if exclude_codes:
         drop = set(exclude_codes)
         codes = [c for c in codes if c not in drop]
-    # class ids are GLOBAL (assigned over the full filtered class list, before
-    # partition slicing): every shard/host must agree on code <-> id, because
-    # stages 4/5 key centroid banks and the part-classifier head by class_id
-    # across the whole dataset.
-    code_to_id = {c: i for i, c in enumerate(codes)}
     codes = _partition(codes, partition_index, total_partitions)
 
     store = PseudoLabelStore(object_mask_store) if object_mask_store else None

@@ -26,7 +26,7 @@ from typing import Optional
 logger = logging.getLogger("partdistillation_tpu")
 
 __all__ = ["initialize", "is_main_process", "process_index", "process_count",
-           "barrier"]
+           "barrier", "all_gather_objects"]
 
 _initialized = False
 
@@ -82,3 +82,33 @@ def barrier(name: str = "barrier") -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(name)
+
+
+def all_gather_objects(obj) -> list:
+    """Gather arbitrary picklable python objects from every process; returns a
+    list of per-process objects, ordered by process index.
+
+    The detectron2 ``comm.all_gather`` equivalent. ``process_allgather``
+    requires identical array shapes/tree structures on every host, which
+    evaluator state (ragged record lists, dicts with per-host key sets) does
+    not satisfy — so objects go over the wire as length-prefixed pickled
+    bytes padded to the global max.
+    """
+    import pickle
+
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return [obj]
+
+    from jax.experimental import multihost_utils  # pragma: no cover - multihost
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)  # pragma: no cover
+    sizes = multihost_utils.process_allgather(  # pragma: no cover
+        np.asarray([data.size], np.int64)).reshape(-1)
+    padded = np.zeros((int(sizes.max()),), np.uint8)  # pragma: no cover
+    padded[: data.size] = data  # pragma: no cover
+    gathered = multihost_utils.process_allgather(padded)  # pragma: no cover
+    return [pickle.loads(gathered[i, : int(sizes[i])].tobytes())  # pragma: no cover
+            for i in range(gathered.shape[0])]

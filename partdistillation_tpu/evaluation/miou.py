@@ -27,6 +27,7 @@ __all__ = [
     "binary_masks_to_semseg",
     "confusion_matrix",
     "majority_vote",
+    "merge_confusion_dicts",
     "miou_from_confusion",
     "MIoUMatcher",
     "MIoUEvaluator",
@@ -82,6 +83,16 @@ def miou_from_confusion(conf: np.ndarray) -> Dict[str, np.ndarray]:
     }
 
 
+def merge_confusion_dicts(dicts: List[Dict[int, np.ndarray]]) -> Dict[int, np.ndarray]:
+    """Sum per-object-class confusion matrices across hosts (the reference's
+    all_reduce in miou_matcher.py:83-96). Key sets may differ per host."""
+    merged: Dict[int, np.ndarray] = {}
+    for d in dicts:
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    return merged
+
+
 class _ConfusionAccumulator:
     def __init__(self, n: int):
         self.n = n
@@ -98,14 +109,11 @@ class _ConfusionAccumulator:
     def allreduce(self, distributed: bool):
         if not distributed:
             return
-        from jax.experimental import multihost_utils  # pragma: no cover
+        # pickled-object gather: conf dicts have per-host key sets, which
+        # process_allgather's same-structure requirement can't handle
+        from ..engine.launch import all_gather_objects
 
-        gathered = multihost_utils.process_allgather(self.conf)  # pragma: no cover
-        merged: Dict[int, np.ndarray] = {}
-        for d in gathered:  # pragma: no cover
-            for k, v in d.items():
-                merged[k] = merged.get(k, 0) + v
-        self.conf = merged  # pragma: no cover
+        self.conf = merge_confusion_dicts(all_gather_objects(self.conf))
 
 
 def _process_batched(acc: _ConfusionAccumulator, outputs, gt_masks, gt_labels,

@@ -75,10 +75,11 @@ class ProposalEvaluator:
     def evaluate(self) -> Dict[str, float]:
         records = self._records
         if self.distributed:
-            from jax.experimental import multihost_utils
+            # pickled-object gather: record lists are ragged per host, which
+            # process_allgather's same-shape requirement can't handle
+            from ..engine.launch import all_gather_objects
 
-            gathered = multihost_utils.process_allgather(records)  # pragma: no cover
-            records = gathered
+            records = [r for host in all_gather_objects(records) for r in host]
 
         thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
         res: Dict[str, float] = {}

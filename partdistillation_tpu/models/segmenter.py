@@ -86,13 +86,19 @@ class MaskFormerSegmenter(nn.Module):
         if self.cfg.freeze_pixel_decoder:
             mask_features = jax.lax.stop_gradient(mask_features)
             ms_feats = [jax.lax.stop_gradient(f) for f in ms_feats]
+            if encoder_feature is not None:
+                encoder_feature = jax.lax.stop_gradient(encoder_feature)
 
         with jax.named_scope("transformer_decoder"):
             if self.cfg.decoder_type == "standard":
                 # v1 path: queries attend one map — the pixel decoder's
-                # transformer output when present, else the coarsest FPN map
-                # (mask_former_head.py:129-143 TRANSFORMER_IN_FEATURE routing).
-                src = encoder_feature if encoder_feature is not None else ms_feats[0]
+                # transformer output when present, else the RAW coarsest
+                # backbone feature (the reference default
+                # TRANSFORMER_IN_FEATURE='res5': a plain-FPN pixel decoder
+                # pairs with transformer_predictor(in_channels=res5),
+                # mask_former_head.py:129-143).
+                src = (encoder_feature if encoder_feature is not None
+                       else feats["res5"])
                 out = StandardTransformerDecoder(
                     self.cfg.standard_decoder, name="predictor")(src, mask_features)
             else:

@@ -153,3 +153,56 @@ def test_clustering_module_few_samples_random():
                 "valid": np.ones((1, 2), bool)}, np.array([0]))
     bank = cm.evaluate()
     assert np.isfinite(bank).all()
+
+
+def test_clustering_reservoir_not_first_n_biased():
+    """Over-capacity streams keep a spread sample, not the first-N prefix
+    (the round-1 'keep first N' early-image bias, fixed via algorithm R)."""
+    cap, d = 32, 2
+    cm = ClusteringModule(num_object_classes=1, feat_dim=d, num_clusters=2,
+                          capacity_per_class=cap)
+    for i in range(8):  # 8 batches x 16 feats = 128 >> cap
+        feats = np.full((1, 16, d), float(i), np.float32)
+        cm.process({"feats": feats, "valid": np.ones((1, 16), bool)}, np.array([0]))
+    buf = cm._feats[0]
+    assert cm._seen[0] == 128
+    batches_present = np.unique(buf[:, 0].astype(int))
+    # a first-N cap would store only batches 0 and 1
+    assert len(batches_present) >= 4
+    assert batches_present.max() >= 4
+
+
+def test_merge_reservoirs_proportional():
+    from partdistillation_tpu.evaluation.clustering import merge_reservoirs
+
+    cap, d = 16, 2
+    # host A saw 300 rows of value 1, host B 100 rows of value 2
+    fa = {0: np.ones((cap, d), np.float32)}
+    fb = {0: np.full((cap, d), 2.0, np.float32), 5: np.full((cap, d), 7.0, np.float32)}
+    feats, seen = merge_reservoirs([(fa, {0: 300}), (fb, {0: 100, 5: 8})], cap)
+    assert seen == {0: 400, 5: 8}
+    vals = feats[0][:, 0]
+    n_a, n_b = int((vals == 1).sum()), int((vals == 2).sum())
+    assert n_a + n_b == cap
+    assert n_a > n_b  # proportional to seen counts (300 vs 100)
+    # under-capacity class passes through intact
+    assert (feats[5][:8] == 7.0).all()
+
+
+def test_merge_confusion_dicts():
+    from partdistillation_tpu.evaluation.miou import merge_confusion_dicts
+
+    a = {1: np.eye(3), 2: np.ones((3, 3))}
+    b = {2: np.ones((3, 3)), 7: np.eye(3) * 2}
+    m = merge_confusion_dicts([a, b])
+    assert set(m) == {1, 2, 7}
+    np.testing.assert_array_equal(m[2], 2 * np.ones((3, 3)))
+    np.testing.assert_array_equal(m[1], np.eye(3))
+
+
+def test_all_gather_objects_single_process():
+    from partdistillation_tpu.engine.launch import all_gather_objects
+
+    obj = {"ragged": [np.zeros((2, 3)), np.ones((5,))], "n": 7}
+    out = all_gather_objects(obj)
+    assert len(out) == 1 and out[0]["n"] == 7

@@ -101,7 +101,8 @@ def _imagenet_items(cfg, args, object_store: Optional[str] = None):
     )
 
 
-def _restore_params(path: Optional[str], init_fn, trainer_dir: Optional[str] = None):
+def _restore_params(path: Optional[str], init_fn, trainer_dir: Optional[str] = None,
+                    torch_path: Optional[str] = None):
     """Model params for eval/inference CLIs.
 
     ``path``: a bare Orbax params checkpoint (StandardCheckpointer layout).
@@ -110,11 +111,26 @@ def _restore_params(path: Optional[str], init_fn, trainer_dir: Optional[str] = N
     freshly-initialized structure. This is how a trained stage-3/5 model is
     fed into the eval entry points (the reference's
     DetectionCheckpointer.resume_or_load at part_proposal_train_net.py:205).
+    ``torch_path``: a torch/detectron2 Mask2Former checkpoint (.pth/.pkl) —
+    converted through utils/convert_weights onto the initialized structure
+    (weights/README.md initial-weights contract).
     """
     params = init_fn()
-    if path and trainer_dir:
-        raise SystemExit("--params and --trainer-checkpoint are mutually exclusive")
-    if path:
+    sources = [s for s in (path, trainer_dir, torch_path) if s]
+    if len(sources) > 1:
+        raise SystemExit("--params, --trainer-checkpoint and --torch-params "
+                         "are mutually exclusive")
+    if torch_path:
+        from .utils.convert_weights import (convert_mask2former_state_dict,
+                                            load_torch_checkpoint)
+
+        sd = load_torch_checkpoint(torch_path)
+        params, unmatched = convert_mask2former_state_dict(sd, template=params)
+        logger.info("converted torch checkpoint %s (%d unmatched keys)",
+                    torch_path, len(unmatched))
+        if unmatched:
+            logger.info("unmatched torch keys (first 10): %s", unmatched[:10])
+    elif path:
         import orbax.checkpoint as ocp
 
         ckpt = ocp.StandardCheckpointer()
@@ -320,7 +336,7 @@ def cmd_propose(args):
         lambda: jax.jit(backbone.init)(
             jax.random.PRNGKey(cfg.seed),
             normalize_images(jnp.zeros((1, size, size, 3)))),
-    )
+        torch_path=getattr(args, "torch_params", None))
 
     mapper = ProposalGenerationMapper(image_size=size)
     n_saved, n_batches, t0 = 0, 0, time.perf_counter()
@@ -497,7 +513,8 @@ def cmd_train_proposal(args):
     params = _restore_params(
         args.params,
         lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
-                                    normalize_images(jnp.zeros((1, size, size, 3)))))
+                                    normalize_images(jnp.zeros((1, size, size, 3)))),
+        torch_path=getattr(args, "torch_params", None))
 
     mesh = _fit_mesh(cfg.data.batch_size)
     trainer = Trainer(
@@ -566,7 +583,8 @@ def cmd_train_distillation(args):
         lambda: jax.jit(model.init)(
             jax.random.PRNGKey(cfg.seed),
             normalize_images(jnp.zeros((1, size, size, 3))),
-            gt_object_class=jnp.zeros((1,), jnp.int32)))
+            gt_object_class=jnp.zeros((1,), jnp.int32)),
+        torch_path=getattr(args, "torch_params", None))
 
     mesh = _fit_mesh(cfg.data.batch_size, n_model=cfg.n_model_shards)
     trainer = Trainer(
@@ -659,7 +677,8 @@ def cmd_eval_proposal(args):
         args.params,
         lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
                                     normalize_images(jnp.zeros((1, size, size, 3)))),
-        trainer_dir=args.trainer_checkpoint)
+        trainer_dir=args.trainer_checkpoint,
+        torch_path=getattr(args, "torch_params", None))
     metrics = _proposal_ar_eval(cfg, args, model_cfg, params, ds)
     from .engine.metrics import print_csv_format
 
@@ -747,7 +766,8 @@ def cmd_rank(args):
         args.params,
         lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
                                     normalize_images(jnp.zeros((1, size, size, 3)))),
-        trainer_dir=args.trainer_checkpoint)
+        trainer_dir=args.trainer_checkpoint,
+        torch_path=getattr(args, "torch_params", None))
     suffix = f"_{eval_dataset}" if on_eval_set else ""
     centroid_path = os.path.join(cfg.checkpoint_dir, f"rank_centroids{suffix}.npz")
 
@@ -936,7 +956,8 @@ def _distill_setup(cfg, args):
             jax.random.PRNGKey(cfg.seed),
             normalize_images(jnp.zeros((1, size, size, 3))),
             gt_object_class=jnp.zeros((1,), jnp.int32)),
-        trainer_dir=args.trainer_checkpoint)
+        trainer_dir=args.trainer_checkpoint,
+        torch_path=getattr(args, "torch_params", None))
     return model_cfg, params
 
 
@@ -1161,7 +1182,8 @@ def _supervised_setup(cfg, args):
         args.params,
         lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
                                     normalize_images(jnp.zeros((1, size, size, 3)))),
-        trainer_dir=getattr(args, "trainer_checkpoint", None))
+        trainer_dir=getattr(args, "trainer_checkpoint", None),
+        torch_path=getattr(args, "torch_params", None))
     return items, model_cfg, params, ds
 
 
@@ -1280,7 +1302,8 @@ def cmd_eval_pixel_grouping(args):
         args.params,
         lambda: jax.jit(backbone.init)(
             jax.random.PRNGKey(cfg.seed),
-            normalize_images(jnp.zeros((1, size, size, 3)))))
+            normalize_images(jnp.zeros((1, size, size, 3)))),
+        torch_path=getattr(args, "torch_params", None))
 
     mapper = PartEvalMapper(image_size=size, capacity=16,
                             merge_parts_by_class=False)
@@ -1355,6 +1378,9 @@ def _add_common(p):
     p.add_argument("--params", default=None, help="orbax params checkpoint")
     p.add_argument("--trainer-checkpoint", default=None,
                    help="stage Trainer checkpoint dir (loads latest step's params)")
+    p.add_argument("--torch-params", default=None,
+                   help="torch/detectron2 Mask2Former checkpoint (.pth/.pkl), "
+                        "converted via utils/convert_weights")
 
 
 def _add_eval_dataset(p):

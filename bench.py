@@ -17,12 +17,20 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent XLA executable cache: the Swin-L train step takes minutes to
+# compile via the remote compile service; cache across runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
 def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16):

@@ -44,6 +44,10 @@ class SwinConfig:
     ape: bool = False
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
     dtype: jnp.dtype = jnp.float32
+    # Fused (Pallas) window attention on TPU: the f32 (windows, heads, N, N)
+    # logits/probs of thousands of windows stay in VMEM instead of
+    # round-tripping HBM (profiled ~50 ms/step at 640^2 Swin-L bs16).
+    fused_attention: bool = True
 
     @property
     def num_layers(self) -> int:
@@ -134,6 +138,7 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -146,25 +151,36 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # (bnw, nh, N, hd)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * self.window_size - 1) ** 2, self.num_heads),
         )
         idx = _relative_position_index(self.window_size).reshape(-1)
-        bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(attn.dtype)
+        bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)  # (H,N,N)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
-            attn = attn + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(bnw, self.num_heads, n, n)
+        if self.fused:
+            from ..ops.fused_attention import fused_window_attention
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(bnw, n, c)
+            # periodic additive bias: rel-pos (all windows) + shift mask
+            # (repeats every nW windows = one image)
+            if mask is not None:
+                per = bias[None].astype(jnp.float32) + mask[:, None]
+            else:
+                per = bias[None].astype(jnp.float32)
+            out = fused_window_attention(q, k, v, per)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + bias[None].astype(attn.dtype)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
+                attn = attn + mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(bnw, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -178,6 +194,7 @@ class SwinBlock(nn.Module):
     qk_scale: Optional[float]
     drop_path: float
     dtype: jnp.dtype = jnp.float32
+    fused_attention: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
@@ -209,6 +226,7 @@ class SwinBlock(nn.Module):
             qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale,
             dtype=self.dtype,
+            fused=self.fused_attention,
             name="attn",
         )(windows, mask)
         x = _window_reverse(attn_out, ws, b, hp, wp)
@@ -278,6 +296,7 @@ class SwinTransformer(nn.Module):
                     qk_scale=cfg.qk_scale,
                     drop_path=float(dpr[block_idx]),
                     dtype=cfg.dtype,
+                    fused_attention=cfg.fused_attention,
                     name=f"stage{stage}_block{blk}",
                 )(x, deterministic=not train)
                 block_idx += 1

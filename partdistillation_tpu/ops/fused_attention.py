@@ -41,7 +41,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_masked_attention", "attention_reference"]
+__all__ = ["fused_masked_attention", "fused_window_attention",
+           "attention_reference"]
 
 _LANE = 128
 
@@ -239,6 +240,119 @@ def _fused_bwd(q_tile, res, g):
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _fwd_kernel_allheads(q_ref, kt_ref, vt_ref, m_ref, out_ref, *, heads: int):
+    """One program per window: all heads unrolled (windowed attention has
+    thousands of tiny windows — a per-(window, head) grid is dispatch-bound
+    at ~0.7 us/program, profiled)."""
+    for hh in range(heads):
+        p = _softmax_p(q_ref[0, hh], kt_ref[0, hh], m_ref[0, hh])
+        out_ref[0, hh] = jax.lax.dot_general(
+            p.astype(vt_ref.dtype), vt_ref[0, hh], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _fused_periodic_fwd_pallas(q, k, v, bias, q_tile: int,
+                               interpret: bool = False):
+    """Forward with a PERIODIC additive bias: bias (P, H, N, K) broadcasts
+    over the window-batch axis as ``bi % P`` (Swin: the shift mask repeats per
+    image, the rel-pos bias is shared by all windows). Avoids materializing a
+    (B, H, N, N) mask for thousands of windows."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, nq, d = q.shape
+    p = bias.shape[0]
+    qp = _pad_to(q, 2, q_tile)
+    kt = _pad_to(jnp.swapaxes(k, 2, 3), 3, _LANE)
+    vt = _pad_to(jnp.swapaxes(v, 2, 3), 3, _LANE)
+    # f32 bias (unlike the decoder's 0/-1e9 mask, rel-pos biases carry real
+    # values — keep full precision; the per-period tensor is small anyway)
+    bp = _pad_to(_pad_to(bias.astype(jnp.float32), 3, _LANE, -1e9), 2, q_tile)
+    nqp, nkp = qp.shape[2], kt.shape[3]
+
+    # head chunk: as many heads per program as fit the ~16 MB VMEM budget
+    # (q + kt + vt + out bf16, bias + softmax scratch f32)
+    per_head = (2 * nqp * d * 2 + 2 * d * nkp * 2 + 2 * nqp * nkp * 4)
+    hc = h
+    while hc > 1 and hc * per_head > 10 * 2**20:
+        hc //= 2
+    while h % hc:
+        hc -= 1
+
+    out = pl.pallas_call(
+        ft.partial(_fwd_kernel_allheads, heads=hc),
+        out_shape=jax.ShapeDtypeStruct((b, h, nqp, d), q.dtype),
+        grid=(b, h // hc),
+        in_specs=[
+            pl.BlockSpec((1, hc, nqp, d), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc, d, nkp), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc, d, nkp), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc, nqp, nkp), lambda bi, hi: (bi % p, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hc, nqp, d), lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, kt, vt, bp)
+    return out[:, :, :nq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_periodic(q, k, v, bias, q_tile):
+    return _fused_periodic_fwd_pallas(q, k, v, bias, q_tile)
+
+
+def _fused_periodic_fwd(q, k, v, bias, q_tile):
+    return _fused_periodic_fwd_pallas(q, k, v, bias, q_tile), (q, k, v, bias)
+
+
+def _fused_periodic_bwd(q_tile, res, g):
+    q, k, v, bias = res
+    b = q.shape[0]
+    # expand the periodic bias; the XLA-composition VJP gives exact grads
+    # (incl. d/d bias, reduced back over the period by the broadcast transpose)
+    reps = b // bias.shape[0]
+    full = jnp.tile(bias, (reps, 1, 1, 1))
+    _, vjp = jax.vjp(lambda *a: attention_reference(*a), q, k, v, full)
+    dq, dk, dv, dfull = vjp(g)
+    dbias = dfull.reshape((reps,) + bias.shape).sum(0)
+    return dq, dk, dv, dbias
+
+
+_fused_periodic.defvjp(_fused_periodic_fwd, _fused_periodic_bwd)
+
+
+def fused_window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    q_tile: Optional[int] = None,
+) -> jnp.ndarray:
+    """Windowed attention (B, H, N, D) with a periodic additive bias
+    (P, H, N, N); B % P == 0, window-batch index bi uses bias[bi % P].
+
+    q must be pre-scaled. Used by the Swin backbone: the f32 (B, H, N, N)
+    logits of thousands of windows never round-trip through HBM.
+    """
+    if jax.default_backend() != "tpu":
+        b = q.shape[0]
+        if bias.shape[0] == 1:
+            full = bias
+        else:
+            full = jnp.tile(bias, (b // bias.shape[0], 1, 1, 1))
+        return attention_reference(q, k, v, full)
+    if q_tile is None:
+        n = q.shape[2]
+        q_tile = n if n % 8 == 0 else -(-n // 8) * 8
+    return _fused_periodic(q, k, v, bias.astype(jnp.float32), q_tile)
 
 
 def fused_masked_attention(

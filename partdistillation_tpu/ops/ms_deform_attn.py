@@ -154,39 +154,44 @@ def _ms_deform_attn_onehot(
     _, lq, _, num_levels, p, _ = sampling_locations.shape
     dtype = value.dtype
 
-    # (B, S, M, D) -> (B*M, S, D)
-    val = value.transpose(0, 2, 1, 3).reshape(b * m, s, d)
-    loc = sampling_locations.transpose(0, 2, 3, 1, 4, 5).reshape(
-        b * m, num_levels, lq * p, 2)
-    attw = attention_weights.transpose(0, 2, 3, 1, 4).reshape(
-        b * m, num_levels, lq * p).astype(dtype)
+    # (B, S, M, D) -> (B, M, S, D): the dot's batch layout
+    val = value.transpose(0, 2, 1, 3)
+    # coordinates to (B, M, Lq, P, L, 2) batch-major — transposing the SMALL
+    # coordinate tensors (4 MB) replaces the old (BM, L, Lq*P, 2) repacking
+    # whose T(2,128)-padded copies cost ~10 ms/encoder-layer at 640^2 bs16
+    loc = sampling_locations.transpose(0, 2, 1, 4, 3, 5)  # (B, M, Lq, P, L, 2)
+    attw = attention_weights.transpose(0, 2, 1, 4, 3).astype(jnp.float32)
+    # (B, M, Lq, P, L)
 
-    out = jnp.zeros((b * m, lq, d), jnp.float32)
+    out = jnp.zeros((b, m, lq, d), jnp.float32)
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
         hw = h * w
-        vl = val[:, start : start + hw]
-        xy = loc[:, lvl] * jnp.asarray([w, h], jnp.float32) - 0.5
+        vl = val[:, :, start : start + hw]  # (B, M, HW, D)
+        x = loc[..., lvl, 0] * w - 0.5  # (B, M, Lq, P), align_corners=False
+        y = loc[..., lvl, 1] * h - 0.5
+        aw = attw[..., lvl]  # (B, M, Lq, P)
         # The sampling matrix is a product of two hat functions over the flat
-        # pixel grid: W[n, s] = relu(1-|sx - x_n|) * relu(1-|sy - y_n|).
-        # This equals the 4-corner bilinear one-hot sum exactly (zero padding
-        # included: out-of-range neighbors simply have no grid column) but
-        # builds in one VPU pass instead of four one-hot passes. (Building
-        # thin (N,H)x(N,W) factors and outer-product-expanding is NOT viable
-        # in XLA — the reshape between broadcast-multiply and dot blocks
-        # fusion and materializes the 27 GB operand; ops/msda_pallas.py is
-        # the tiled kernel for that factorization.)
+        # pixel grid: W[n, s] = relu(1-|sx - x_n|) * relu(1-|sy - y_n|) —
+        # exactly the 4-corner bilinear one-hot sum (zero padding included:
+        # out-of-range neighbors have no grid column). The P point taps are
+        # FOLDED into one row per query as an unrolled elementwise sum with
+        # the attention weights: every term is elementwise, so XLA fuses the
+        # whole build into the dot's LHS (no (.., P, HW) or post-dot
+        # (.., P, D) intermediate ever materializes) and the contraction
+        # itself shrinks P-fold.
         colx = (jnp.arange(hw, dtype=jnp.float32) % w)
         coly = jnp.floor(jnp.arange(hw, dtype=jnp.float32) / w)
-        hx = jnp.maximum(0.0, 1.0 - jnp.abs(xy[..., 0:1] - colx))
-        hy = jnp.maximum(0.0, 1.0 - jnp.abs(xy[..., 1:2] - coly))
-        wm = (hx * hy).astype(dtype)  # (BM, Lq*P, HW)
-        sampled = jnp.einsum("bns,bsd->bnd", wm, vl,
-                             preferred_element_type=jnp.float32)
-        sampled = sampled * attw[:, lvl][..., None]
-        out = out + jnp.sum(sampled.reshape(b * m, lq, p, d), axis=2)
+        wm = None
+        for pi in range(p):
+            hx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., pi, None] - colx))
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., pi, None] - coly))
+            term = hx * hy * aw[..., pi, None]
+            wm = term if wm is None else wm + term
+        wm = wm.astype(dtype)  # (B, M, Lq, HW)
+        out = out + jnp.einsum("bmqs,bmsd->bmqd", wm, vl,
+                               preferred_element_type=jnp.float32)
         start += hw
 
-    # (B*M, Lq, D) -> (B, Lq, M*D)
-    return out.astype(dtype).reshape(b, m, lq, d).transpose(0, 2, 1, 3).reshape(
-        b, lq, m * d)
+    # (B, M, Lq, D) -> (B, Lq, M*D)
+    return out.astype(dtype).transpose(0, 2, 1, 3).reshape(b, lq, m * d)

@@ -43,6 +43,52 @@ __all__ = ["sample_level"]
 _TN = 256  # taps per tile; R scratch = TN * H*D * 4B
 
 
+def _kernel_expand(x_ref, y_ref, w_ref, v_ref, e_ref, sel_ref, o_ref, *,
+                   h: int, w: int, tn: int, chunk: int):
+    """Lean variant: the VPU hat-build work per (H*D) element drops from ~7
+    ops (full hyb hat + two multiplies) to ~2 (one multiply + one convert) by
+    (a) folding the attention weight into the THIN hx hat (TN x W ops), and
+    (b) expanding the thin hy hat (TN, H) onto the (H*D) layout with a 0/1
+    expansion MATMUL on the otherwise-idle MXU instead of rebuilding the hat
+    per column. Mosaic constraint: everything stays 2-D (3-D reshapes /
+    broadcasts crash the TPU compiler backend)."""
+    d = v_ref.shape[-1] // h
+    c = pl.program_id(1)
+    dtype = v_ref.dtype
+
+    def tile(i, _):
+        start = c * chunk + i * tn
+        xs = x_ref[0, 0, pl.ds(start, tn)]  # (TN,)
+        ys = y_ref[0, 0, pl.ds(start, tn)]
+        ws = w_ref[0, 0, pl.ds(start, tn)]
+
+        colw = jax.lax.broadcasted_iota(jnp.int32, (tn, w), 1).astype(jnp.float32)
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - colw)) * ws[:, None]
+        colh = jax.lax.broadcasted_iota(jnp.int32, (tn, h), 1).astype(jnp.float32)
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - colh))  # (TN, H)
+
+        r = jax.lax.dot_general(
+            hx.astype(dtype), v_ref[0],  # (TN, W) @ (W, H*D)
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TN, H*D)
+        hyb = jax.lax.dot_general(
+            hy.astype(dtype), e_ref[:],  # (TN, H) @ (H, H*D) 0/1 expansion
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TN, H*D): hyb[n, y*d+j] = hy[n, y]
+        r = (r * hyb).astype(dtype)
+        acc = jax.lax.dot_general(
+            r, sel_ref[:],  # (TN, H*D) @ (H*D, D) 0/1 y-sum
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TN, D)
+        o_ref[0, pl.ds(i * tn, tn), :] = acc.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // tn, tile, 0, unroll=False)
+
+
 def _kernel(x_ref, y_ref, w_ref, v_ref, sel_ref, o_ref, *, h: int, w: int,
             tn: int, chunk: int):
     d = v_ref.shape[-1] // h
@@ -96,7 +142,7 @@ def sample_level(v_whd, x, y, attw, h: int, w: int):
     return _forward(v_whd, x, y, attw, h, w)
 
 
-def _forward(v_whd, x, y, attw, h, w):
+def _forward(v_whd, x, y, attw, h, w, variant: str = "expand"):
     bm, n = x.shape
     d = v_whd.shape[-1] // h
     tn = _TN
@@ -110,26 +156,50 @@ def _forward(v_whd, x, y, attw, h, w):
         y = jnp.pad(y, pad, constant_values=-2.0)
         attw = jnp.pad(attw, pad)
 
-    # 0/1 selection matrix summing the (y, d) layout over y: sel[y*d+i, j]=[i==j]
-    sel = jnp.tile(jnp.eye(d, dtype=v_whd.dtype), (h, 1))  # (H*D, D)
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, h=h, w=w, tn=tn, chunk=chunk),
+    common = dict(
         grid=(bm, n_chunks),
-        in_specs=[
-            # coords/weights + values: constant index over the chunk axis —
-            # they load once per bm and stay VMEM-resident across chunks
-            pl.BlockSpec((1, 1, n_pad), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, h * d), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h * d, d), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((1, chunk, d), lambda b, c: (b, c, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bm, n_pad, d), v_whd.dtype),
         interpret=jax.default_backend() != "tpu",  # CPU CI runs interpreted
-    )(x[:, None, :], y[:, None, :], attw[:, None, :], v_whd, sel)
+    )
+    # coords/weights + values: constant index over the chunk axis —
+    # they load once per bm and stay VMEM-resident across chunks
+    vec_specs = [
+        pl.BlockSpec((1, 1, n_pad), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_pad), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_pad), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, w, h * d), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    if variant == "expand":
+        import numpy as np
+
+        eye_h = jnp.asarray(
+            np.repeat(np.eye(h, dtype=np.float32), d, axis=1), v_whd.dtype)
+        sel = jnp.tile(jnp.eye(d, dtype=v_whd.dtype), (h, 1))  # (H*D, D)
+        out = pl.pallas_call(
+            functools.partial(_kernel_expand, h=h, w=w, tn=tn, chunk=chunk),
+            in_specs=vec_specs + [
+                pl.BlockSpec((h, h * d), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h * d, d), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            **common,
+        )(x[:, None, :], y[:, None, :], attw[:, None, :], v_whd, eye_h, sel)
+    else:
+        # 0/1 selection matrix summing the (y, d) layout over y:
+        # sel[y*d+i, j]=[i==j]
+        sel = jnp.tile(jnp.eye(d, dtype=v_whd.dtype), (h, 1))  # (H*D, D)
+        out = pl.pallas_call(
+            functools.partial(_kernel, h=h, w=w, tn=tn, chunk=chunk),
+            in_specs=vec_specs + [
+                pl.BlockSpec((h * d, d), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            **common,
+        )(x[:, None, :], y[:, None, :], attw[:, None, :], v_whd, sel)
     return out[:, :n]
 
 

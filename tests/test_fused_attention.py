@@ -131,3 +131,63 @@ def test_bwd_kernel_no_mask_interpret():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=1e-3, atol=1e-4)
+
+
+class TestFusedWindowAttention:
+    """Periodic-bias windowed attention (the Swin path)."""
+
+    def _inputs(self, b_img=2, nw=4, heads=3, n=16, d=8, seed=0):
+        rng = np.random.RandomState(seed)
+        bnw = b_img * nw
+        q = jnp.asarray(rng.randn(bnw, heads, n, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(bnw, heads, n, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(bnw, heads, n, d).astype(np.float32))
+        bias = jnp.asarray(rng.randn(nw, heads, n, n).astype(np.float32))
+        return q, k, v, bias
+
+    def test_periodic_kernel_matches_reference(self):
+        from partdistillation_tpu.ops.fused_attention import (
+            _fused_periodic_fwd_pallas, attention_reference)
+
+        q, k, v, bias = self._inputs()
+        out = _fused_periodic_fwd_pallas(q, k, v, bias, q_tile=16, interpret=True)
+        full = jnp.tile(bias, (q.shape[0] // bias.shape[0], 1, 1, 1))
+        ref = attention_reference(q, k, v, full)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_periodic_grads_match_reference(self):
+        from partdistillation_tpu.ops.fused_attention import (
+            _fused_periodic_bwd, attention_reference)
+
+        q, k, v, bias = self._inputs(b_img=1, nw=2, heads=2, n=8, d=4)
+        g = jnp.ones((q.shape[0], 2, 8, 4), jnp.float32)
+        dq, dk, dv, dbias = _fused_periodic_bwd(8, (q, k, v, bias), g)
+        # finite-structure checks + bias-period reduction
+        assert dq.shape == q.shape and dbias.shape == bias.shape
+        full = jnp.tile(bias, (q.shape[0] // bias.shape[0], 1, 1, 1))
+        _, vjp = jax.vjp(lambda b_: attention_reference(
+            q, k, v, jnp.tile(b_, (q.shape[0] // bias.shape[0], 1, 1, 1))), bias)
+        (dbias_ref,) = vjp(g)
+        np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_swin_fused_flag_equivalence(self):
+        """SwinTransformer(fused_attention=True) == (False) on CPU, both with
+        a shifted block in play."""
+        from partdistillation_tpu.models.swin import SwinConfig, SwinTransformer
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+        outs = []
+        for fused in (True, False):
+            cfg = SwinConfig(embed_dim=8, depths=(2, 2), num_heads=(2, 4),
+                             window_size=4, drop_path_rate=0.0,
+                             out_features=("res2", "res3"), fused_attention=fused)
+            model = SwinTransformer(cfg)
+            params = model.init(jax.random.PRNGKey(0), x)
+            outs.append(model.apply(params, x))
+        for key in outs[0]:
+            np.testing.assert_allclose(np.asarray(outs[0][key]),
+                                       np.asarray(outs[1][key]),
+                                       atol=1e-5, rtol=1e-5)

@@ -1,0 +1,74 @@
+"""Profile the bench train step and print a per-component cost breakdown.
+
+Parses the xplane proto directly (tensorboard_plugin_profile's converter has a
+protobuf mismatch in this env); aggregates device event durations by the HLO
+op's `source` stat so costs map back to Python call sites.
+"""
+import collections
+import glob
+import json
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import build  # noqa: E402
+
+
+def main():
+    batch_size = int(os.environ.get("BENCH_BS", "16"))
+    train_step, params, opt_state, batch = build(batch_size)
+    key = jax.random.PRNGKey(1)
+    params, opt_state, loss = train_step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+
+    trace_dir = "/tmp/bench_trace"
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
+            params, opt_state, loss = train_step(params, opt_state, batch, key)
+        jax.block_until_ready(loss)
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    agg = collections.Counter()
+    op_agg = collections.Counter()
+    total = 0
+    for p in paths:
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(open(p, "rb").read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+                continue
+            stat_names = {m.id: m.name for m in plane.stat_metadata.values()}
+            ev_names = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if "XLA Ops" not in line.name and "xla" not in line.name.lower():
+                    continue
+                for ev in line.events:
+                    dur = ev.duration_ps / 1e12
+                    name = ev_names.get(ev.metadata_id, "?")
+                    if "copy-start" in name and "prefetch" in name:
+                        continue
+                    src = ""
+                    for st in ev.stats:
+                        if stat_names.get(st.metadata_id) == "source":
+                            src = st.str_value or st.ref_value
+                    agg[src or "<nosource>"] += dur
+                    op_agg[name.split(".")[0]] += dur
+                    total += dur
+    print(f"total device time over 3 steps: {total*1e3:.1f} ms "
+          f"({total/3*1e3:.1f} ms/step)")
+    print("\n--- by source (top 25) ---")
+    for src, t in agg.most_common(25):
+        print(f"{t/3*1e3:9.2f} ms/step  {src[:110]}")
+    print("\n--- by op kind (top 20) ---")
+    for name, t in op_agg.most_common(20):
+        print(f"{t/3*1e3:9.2f} ms/step  {name[:80]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Per-stage throughput benchmarks beyond bench.py's stage-3 number.
+
+Prints ONE JSON line per stage:
+  stage-2  proposal generation (frozen Swin-L + masked k-means + full-res
+           nearest-centroid), the reference's proposal_generation_net.py
+           workload (40 jobs x 8 V100, batch 1/GPU).
+  stage-2b dense-CRF smoothing on device (bilateral-grid mean field), the
+           reference's 90-process pydensecrf CPU farm
+           (continuously_postprocess_dcrf.py, sh_files/dcrf/run.sh).
+
+Baselines: stage 2 — the reference runs batch 1/V100 with sklearn k-means on
+CPU per image; public Swin-L inference pace (~8 img/s/V100 at 640^2) bounds
+it above, k-means latency pushes it below; we take 5 img/s/V100 as a generous
+estimate. Stage 2b — pydensecrf at 640^2 with 10 mean-field iterations runs
+~1.2 s/img/core (public timings; the reference's farm exists precisely
+because of this), i.e. ~0.8 img/s/core.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def _sync(x):
+    return float(jnp.asarray(x).ravel()[0])
+
+
+def bench_stage2(batch_size: int = 8, image_size: int = 640, iters: int = 8):
+    from partdistillation_tpu.models.meta_arch.proposal_generation import (
+        ProposalGenerationConfig, make_generation_fn)
+    from partdistillation_tpu.models.meta_arch.proposal import normalize_images
+    from partdistillation_tpu.models.swin import SwinTransformer, swin_large_config
+
+    cfg = ProposalGenerationConfig(swin=swin_large_config(dtype=jnp.bfloat16))
+    gen_fn = jax.jit(make_generation_fn(cfg))
+    backbone = SwinTransformer(cfg.swin)
+    rng = np.random.RandomState(0)
+    params = jax.jit(backbone.init)(
+        jax.random.PRNGKey(0),
+        normalize_images(jnp.zeros((1, image_size, image_size, 3))))
+    batch = {
+        "image": jnp.asarray(
+            rng.randint(0, 255, (batch_size, image_size, image_size, 3)),
+            jnp.float32),
+        "object_mask": jnp.asarray(
+            rng.rand(batch_size, image_size, image_size) < 0.4),
+    }
+    key = jax.random.PRNGKey(1)
+    out = gen_fn(params, batch, key)
+    _sync(out["object_ratio"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = gen_fn(params, batch, key)
+    _sync(out["object_ratio"])
+    ips = batch_size * iters / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "stage2_proposal_generation_images_per_sec_per_chip",
+        "value": round(ips, 3), "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 5.0, 3),
+    }))
+
+
+def bench_dcrf(batch_size: int = 8, image_size: int = 640, capacity: int = 8,
+               crf_iters: int = 10, iters: int = 5):
+    from partdistillation_tpu.ops.dense_crf import (DenseCRFParams, dense_crf,
+                                                    unary_from_masks)
+
+    params = DenseCRFParams(iters=crf_iters)
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(
+        rng.randint(0, 255, (batch_size, image_size, image_size, 3)), jnp.float32)
+    masks = jnp.asarray(
+        rng.rand(batch_size, capacity, image_size, image_size) < 0.15)
+    valid = jnp.ones((batch_size, capacity), bool)
+
+    def refine(image, masks, valid):
+        unary = unary_from_masks(masks, valid, params.gt_prob)
+        q = dense_crf(image, unary, params)
+        return jnp.argmax(q, axis=-1)
+
+    # lax.map: the 640^2 bilateral grid is ~0.4 GB/image — vmap over the
+    # batch OOMs (see run.py cmd_dcrf)
+    fn = jax.jit(lambda im, ma, va: jax.lax.map(lambda t: refine(*t),
+                                                (im, ma, va)))
+    out = fn(image, masks, valid)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(image, masks, valid)
+    _sync(out)
+    ips = batch_size * iters / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "stage2b_dcrf_images_per_sec_per_chip",
+        "value": round(ips, 3), "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 0.8, 3),
+    }))
+
+
+if __name__ == "__main__":
+    bench_stage2()
+    bench_dcrf()

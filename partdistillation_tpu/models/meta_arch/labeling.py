@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["LabelingConfig", "select_class_matched_topk", "clip_text_classifier",
-           "precomputed_detector", "run_labeling"]
+           "clip_region_scorer", "make_proposal_detection_fn",
+           "segmenter_detector", "precomputed_detector", "run_labeling"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,17 +76,132 @@ def clip_text_classifier(class_names, clip_model_path: str,
 
     Requires a *local* CLIP checkpoint directory (transformers format).
     """
-    import torch
     from transformers import CLIPModel, CLIPProcessor
 
     model = CLIPModel.from_pretrained(clip_model_path)
     processor = CLIPProcessor.from_pretrained(clip_model_path)
-    prompts = [template.format(n.replace("_", " ")) for n in class_names]
+    return clip_text_classifier_from(model, processor, class_names, template)
+
+
+def make_proposal_detection_fn(model_cfg):
+    """Jitted detection forward for the stage-1 detector: a CLASS-AGNOSTIC
+    MaskFormerSegmenter (e.g. converted Mask2Former-COCO weights via
+    --torch-params, or a trained stage-3 model) emits top-k object mask
+    proposals with maskness scores.
+
+    Returns fn(params, images (B,H,W,3)) -> {masks (B,K,H,W) bool,
+    scores (B,K), valid (B,K)}; the open-vocabulary classification happens
+    host-side per region (``clip_region_scorer``), mirroring the reference's
+    Detic + CLIP-text-head split (labeling_detic.py:25-119,
+    detic_labeling_net.py:50-68).
+    """
+    import jax
+
+    from ..segmenter import MaskFormerSegmenter
+    from .proposal import normalize_images
+
+    model = MaskFormerSegmenter(model_cfg.segmenter)
+    topk = model_cfg.test_topk
+
+    def fn(params, images):
+        out = model.apply(params, normalize_images(images))
+        logits, mask_logits = out["pred_logits"], out["pred_masks"]
+        h, w = images.shape[1:3]
+
+        def one(lg, ml):
+            probs = jax.nn.softmax(lg, axis=-1)[:, :-1]
+            scores = jnp.max(probs, axis=-1)
+            scores, idx = jax.lax.top_k(scores, topk)
+            ml = jnp.take(ml, idx, axis=0)
+            ml = jax.image.resize(ml, (topk, h, w), method="linear")
+            masks = ml > 0.0
+            valid = jnp.any(masks, axis=(1, 2))
+            return {"masks": masks, "scores": scores, "valid": valid}
+
+        return jax.vmap(one)(logits, mask_logits)
+
+    return fn
+
+
+def clip_region_scorer(clip_model_path: str, class_names,
+                       template: str = "a {}") -> Callable:
+    """Region classifier: CLIP image embeddings of box crops vs text
+    embeddings of the class vocabulary. Returns
+    ``scorer(image (H,W,3) uint8, masks (N,H,W) bool) -> (class_ids, probs)``.
+
+    Requires a local CLIP checkpoint (zero-egress environments).
+    """
+    import torch
+    from transformers import CLIPModel, CLIPProcessor
+
+    model = CLIPModel.from_pretrained(clip_model_path).eval()
+    processor = CLIPProcessor.from_pretrained(clip_model_path)
+    text_emb = torch.from_numpy(
+        clip_text_classifier_from(model, processor, class_names, template))
+
+    def scorer(image: np.ndarray, masks: np.ndarray):
+        crops = []
+        for m in masks:
+            ys, xs = np.nonzero(m)
+            y0, y1 = ys.min(), ys.max() + 1
+            x0, x1 = xs.min(), xs.max() + 1
+            crops.append(image[y0:y1, x0:x1])
+        with torch.no_grad():
+            inputs = processor(images=crops, return_tensors="pt")
+            emb = model.get_image_features(**inputs)
+            emb = emb / emb.norm(dim=-1, keepdim=True)
+            sims = (emb @ text_emb.T).numpy()
+        probs = np.exp(100.0 * sims)
+        probs = probs / probs.sum(-1, keepdims=True)
+        return probs.argmax(-1).astype(np.int32), probs.max(-1).astype(np.float32)
+
+    return scorer
+
+
+def clip_text_classifier_from(model, processor, class_names,
+                              template: str = "a {}") -> np.ndarray:
+    import torch
+
+    prompts = [template.format(str(n).replace("_", " ")) for n in class_names]
     with torch.no_grad():
         inputs = processor(text=prompts, return_tensors="pt", padding=True)
         emb = model.get_text_features(**inputs)
         emb = emb / emb.norm(dim=-1, keepdim=True)
     return emb.numpy()
+
+
+def segmenter_detector(detection_fn, params, image_size: int,
+                       region_scorer: Optional[Callable] = None,
+                       ) -> Callable[[dict], Optional[dict]]:
+    """Stage-1 detector from pixels: jitted segmenter proposals + optional
+    open-vocabulary region scoring. Replaces the reference's external Detic
+    (whose symlink the reference repo itself leaves dangling) with an
+    in-framework detection path; scores become maskness x class-probability
+    when a region scorer is given (Detic's score composition).
+    """
+    from ...data.transforms import load_image, resize_image
+
+    def detector(item: dict) -> Optional[dict]:
+        image = load_image(item["file_name"])
+        if image is None:
+            return None
+        image = resize_image(image, (image_size, image_size))
+        out = detection_fn(params, jnp.asarray(image[None], jnp.float32))
+        masks = np.asarray(out["masks"][0])
+        scores = np.asarray(out["scores"][0]).astype(np.float32)
+        keep = np.asarray(out["valid"][0])
+        masks, scores = masks[keep], scores[keep]
+        if len(scores) == 0:
+            return {"masks": masks, "scores": scores,
+                    "class_ids": scores.astype(np.int32)}
+        if region_scorer is not None:
+            class_ids, probs = region_scorer(image, masks)
+            scores = scores * probs
+        else:
+            class_ids = np.full(len(scores), -1, np.int32)
+        return {"masks": masks, "scores": scores, "class_ids": class_ids}
+
+    return detector
 
 
 def precomputed_detector(detections_store_dir: str) -> Callable[[dict], Optional[dict]]:

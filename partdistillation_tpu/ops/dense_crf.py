@@ -117,20 +117,19 @@ def _splat_blur_slice(coords: jnp.ndarray, values: jnp.ndarray,
         (corner_w[..., None] * values[None]).reshape(-1, c))
     grid = grid.reshape(*grid_shape, c)
 
-    # separable blur along each grid axis (3-tap, sigma = 1 cell)
-    w = jnp.asarray([math.exp(-0.5), 1.0, math.exp(-0.5)], values.dtype)
+    # Separable blur along each grid axis (3-tap, sigma = 1 cell), applied as
+    # a tridiagonal-matrix contraction per axis. NOT jnp.roll: the 5-D grid's
+    # small trailing dims take a T(8,128) layout padded ~6x (2.6 GB/buffer at
+    # 640^2 — HBM OOM), while dots let XLA pick layouts and ride the MXU.
+    w0 = math.exp(-0.5)
     for axis in range(d):
-        up = jnp.roll(grid, 1, axis)
-        down = jnp.roll(grid, -1, axis)
-        # zero the wrapped borders
-        idx = jnp.arange(grid.shape[axis])
-        shape = [1] * grid.ndim
-        shape[axis] = grid.shape[axis]
-        first = (idx == 0).reshape(shape)
-        last = (idx == grid.shape[axis] - 1).reshape(shape)
-        up = jnp.where(first, 0.0, up)
-        down = jnp.where(last, 0.0, down)
-        grid = w[1] * grid + w[0] * up + w[2] * down
+        s = grid.shape[axis]
+        i = jnp.arange(s)
+        diff = jnp.abs(i[:, None] - i[None, :])
+        band = jnp.where(diff == 0, 1.0,
+                         jnp.where(diff == 1, w0, 0.0)).astype(values.dtype)
+        grid = jnp.moveaxis(
+            jnp.tensordot(grid, band, axes=([axis], [0])), -1, axis)
 
     flat = grid.reshape(total, c)
     out = jnp.einsum("kn,knc->nc", corner_w, flat[corner_idx])

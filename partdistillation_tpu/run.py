@@ -302,6 +302,61 @@ def cmd_label(args):
     print(json.dumps({"stage": "label", **stats}))
 
 
+def cmd_detect(args):
+    """Stage 1 from PIXELS: class-agnostic segmenter mask proposals +
+    optional CLIP open-vocabulary region scoring, written to the stage-1
+    object-labels store. The in-framework replacement for the reference's
+    external Detic detector (labeling_detic.py:25-119; Detic itself is a
+    dangling symlink in the reference repo — here the detector is the
+    Mask2Former trunk, typically with --torch-params COCO weights or a
+    stage-3 trainer checkpoint)."""
+    cfg = _setup(args)
+    import jax
+    import jax.numpy as jnp
+
+    from .data.pseudo_store import ShardWriter
+    from .models.meta_arch.labeling import (
+        LabelingConfig, clip_region_scorer, make_proposal_detection_fn,
+        run_labeling, segmenter_detector)
+    from .models.meta_arch.proposal import ProposalModelConfig, normalize_images
+    from .models.segmenter import MaskFormerSegmenter
+
+    items = _imagenet_items(cfg, args)
+    shard, num_shards = _shard_id(args)
+
+    seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
+    model_cfg = ProposalModelConfig(
+        segmenter=seg, test_topk=min(args.proposals, args.num_queries))
+    model = MaskFormerSegmenter(seg)
+    size = cfg.data.image_size
+    params = _restore_params(
+        args.params,
+        lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
+                                    normalize_images(jnp.zeros((1, size, size, 3)))),
+        trainer_dir=args.trainer_checkpoint,
+        torch_path=getattr(args, "torch_params", None))
+
+    scorer = None
+    if args.clip_model:
+        from .data.datasets.imagenet import global_code_to_id, read_class_names
+
+        code_to_id = global_code_to_id(cfg.data.imagenet_root)
+        names = read_class_names(cfg.data.imagenet_root)
+        vocab = [names.get(c, c) for c in sorted(code_to_id)]
+        scorer = clip_region_scorer(args.clip_model, vocab)
+        logger.info("CLIP region scorer over %d classes", len(vocab))
+
+    detection_fn = jax.jit(make_proposal_detection_fn(model_cfg))
+    detector = segmenter_detector(detection_fn, params, size, scorer)
+    writer = ShardWriter(cfg.paths.object_labels, shard, num_shards)
+    stats = run_labeling(
+        detector, items, writer,
+        LabelingConfig(topk=args.topk, score_threshold=args.score_threshold,
+                       match_classes=scorer is not None and not args.no_class_match))
+    writer.close()
+    print(json.dumps({"stage": "detect", **stats}))
+
+
 # ---------------------------------------------------------------- stage 2
 
 
@@ -404,7 +459,11 @@ def cmd_dcrf(args):
         refined = label[None, :, :] == (1 + jnp.arange(capacity)[:, None, None])
         return refined, jnp.any(refined, axis=(1, 2)) & valid
 
-    refine_fn = jax.jit(jax.vmap(refine))
+    # sequential over the batch (lax.map, not vmap): the 5-D bilateral grid is
+    # ~0.4 GB/image at 640^2 — a vmapped batch of 8 OOMs HBM; per-image the
+    # grid ops are large enough to fill the chip anyway
+    refine_fn = jax.jit(
+        lambda im, ma, va: jax.lax.map(lambda t: refine(*t), (im, ma, va)))
     mapper = PartRankingMapper(image_size=cfg.data.image_size, capacity=capacity)
 
     n_saved, n_batches, t0 = 0, 0, time.perf_counter()
@@ -1404,6 +1463,19 @@ def build_parser():
     p.add_argument("--score-threshold", type=float, default=0.0)
     p.add_argument("--no-class-match", action="store_true")
     p.set_defaults(fn=cmd_label)
+
+    p = sub.add_parser("detect",
+                       help="stage 1 from pixels: segmenter proposals + CLIP")
+    _add_common(p)
+    p.add_argument("--num-queries", type=int, default=200)
+    p.add_argument("--proposals", type=int, default=100,
+                   help="mask proposals per image before class filtering")
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--score-threshold", type=float, default=0.0)
+    p.add_argument("--clip-model", default=None,
+                   help="local CLIP checkpoint dir (transformers format)")
+    p.add_argument("--no-class-match", action="store_true")
+    p.set_defaults(fn=cmd_detect)
 
     p = sub.add_parser("propose", help="stage 2: pixel grouping")
     _add_common(p)

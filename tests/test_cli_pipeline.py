@@ -260,3 +260,22 @@ def test_config_presets_load():
                        os.path.join(repo, "configs", "proposal_learning", "swinL_640.yaml"),
                        ["max_iters=7"])
     assert over.max_iters == 7
+
+
+def test_stage1_detect_from_pixels(pipeline_env, capsys):
+    """The in-framework detector (segmenter proposals, class-agnostic without
+    CLIP) produces object masks from PIXELS into the stage-1 store layout
+    (labeling_detic.py analog; detect writes where label reads)."""
+    tmp = pipeline_env["tmp"]
+    ov = [o if not o.startswith("paths.root=") else
+          f"paths.root={tmp}/pseudo_labels_detect" for o in pipeline_env["overrides"]]
+    res = _run(["detect", "--tiny", "--num-queries", "8", "--proposals", "8",
+                "--topk", "5", "--no-class-match", "--set", *ov], capsys)
+    assert res["stage"] == "detect"
+    assert res["saved"] == 8
+    store = PseudoLabelStore(str(tmp / "pseudo_labels_detect/object_labels"))
+    rec = store.get("n01440764_0")
+    assert 1 <= len(rec["object_masks"]) <= 5
+    m = rle_codec.decode(rec["object_masks"][0])
+    assert m.shape == (64, 64) and m.any()
+    assert rec["scores"] == sorted(rec["scores"], reverse=True)

@@ -87,10 +87,7 @@ def bench_dcrf(batch_size: int = 8, image_size: int = 640, capacity: int = 8,
         q = dense_crf(image, unary, params)
         return jnp.argmax(q, axis=-1)
 
-    # lax.map: the 640^2 bilateral grid is ~0.4 GB/image — vmap over the
-    # batch OOMs (see run.py cmd_dcrf)
-    fn = jax.jit(lambda im, ma, va: jax.lax.map(lambda t: refine(*t),
-                                                (im, ma, va)))
+    fn = jax.jit(jax.vmap(refine))
     out = fn(image, masks, valid)
     _sync(out)
     t0 = time.perf_counter()

@@ -15,12 +15,18 @@ with the self-interaction k(i,i)=1 subtracted from each message.
 TPU mapping of the two message passes:
   * Gaussian kernel (sxy ~ 3px): exact truncated separable depthwise
     convolution — pure VPU work, fused by XLA.
-  * Bilateral kernel (sxy ~ 20px, srgb ~ 13): a **bilateral grid**
-    (splat -> separable 5-D blur -> slice). The reference's permutohedral
-    lattice is a sparse scatter/gather structure that maps poorly to TPU; a
-    dense 5-D grid of (H/sxy, W/sxy, 256/srgb^3) cells is small (~1-2M cells
-    for 640^2), and splat/slice are plain scatter-add/gather that XLA lowers
-    natively. Quality is verified against brute-force bilateral filtering in
+  * Bilateral kernel (sxy ~ 20px, srgb ~ 13): a **windowed convolution at
+    reduced resolution** (``bilateral_filter_conv``, the default): area-mean
+    downsample by ~sxy/5, exact truncated Gaussian window over cell offsets
+    (x-offsets vectorized as static patches, y-offsets a lax.scan), bilinear
+    upsample. Everything is static slices + small einsums — no gathers.
+    Rationale: arbitrary gather/scatter runs ~100x off HBM speed-of-light on
+    TPU (SMEM index staging), so any lattice/grid method is bandwidth-doomed;
+    meanwhile the reference's permutohedral lattice itself quantizes the
+    spatial axes at ~sxy spacing, so a conv approximation on a sxy/5 grid
+    with a 2.5-sigma window is a *finer* discretization of the same kernel.
+    A 5-D bilateral grid (``bilateral_filter``) is kept as the exact-color
+    fallback; both are verified against brute-force bilateral filtering in
     tests/test_dense_crf.py.
 
 Reference parameters (continuously_postprocess_dcrf.py:23): gt_prob p=0.7,
@@ -39,7 +45,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["DenseCRFParams", "dense_crf", "unary_from_masks",
-           "gaussian_blur", "bilateral_filter"]
+           "gaussian_blur", "bilateral_filter", "bilateral_filter_conv"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +57,9 @@ class DenseCRFParams:
     bilateral_sxy: float = 20.0
     bilateral_srgb: float = 13.0
     bilateral_compat: float = 10.0
+    # "conv" = windowed conv at reduced resolution (TPU-fast, default);
+    # "grid" = 5-D bilateral grid (gather-bound, exact color resolution)
+    bilateral_impl: str = "conv"
 
 
 def _gauss_kernel_1d(sigma: float) -> jnp.ndarray:
@@ -161,6 +170,69 @@ def bilateral_filter(image: jnp.ndarray, values: jnp.ndarray,
     return out.reshape(h, w, c)
 
 
+def bilateral_filter_conv(image: jnp.ndarray, values: jnp.ndarray,
+                          sxy: float, srgb: float, stride: int | None = None,
+                          truncate: float = 2.5) -> jnp.ndarray:
+    """Joint-bilateral filtering of (H,W,C) `values` guided by (H,W,3) `image`
+    as a truncated windowed convolution at ``stride``-reduced resolution.
+    Returns unnormalized filtered values, sum_j k(i,j) v_j, like
+    ``bilateral_filter`` but gather-free (TPU-fast).
+
+    The image/values are area-mean downsampled by ``stride`` (default
+    ~sxy/5, so the cell grid is 5 cells per spatial sigma — finer than the
+    reference permutohedral lattice's ~1 cell per sigma), the exact Gaussian
+    kernel is applied over all cell offsets within ``truncate`` sigma
+    (x-offsets vectorized as static shifted slices, y-offsets a lax.scan of
+    dynamic slices from a padded buffer), and the message is scaled by
+    stride^2 (each cell stands for stride^2 pixels) and bilinearly upsampled.
+    """
+    h, w, c = values.shape
+    if stride is None:
+        stride = max(1, int(round(sxy / 5.0)))
+    ph, pw = (-h) % stride, (-w) % stride
+    if ph or pw:
+        image = jnp.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        values = jnp.pad(values, ((0, ph), (0, pw), (0, 0)))
+    hl, wl = image.shape[0] // stride, image.shape[1] // stride
+    if stride > 1:
+        img_lo = image.reshape(hl, stride, wl, stride, 3).mean((1, 3))
+        val_lo = values.reshape(hl, stride, wl, stride, c).mean((1, 3))
+    else:
+        img_lo, val_lo = image, values
+
+    s_lo = sxy / stride
+    r = max(int(math.ceil(truncate * s_lo)), 1)
+    kx = 2 * r + 1
+
+    def xpatches(a):  # (hl, wl, ac) -> (hl, wl, kx, ac), zero-padded in x
+        padded = jnp.pad(a, ((0, 0), (r, r), (0, 0)))
+        return jnp.stack([padded[:, i:i + wl] for i in range(kx)], axis=2)
+
+    # zero-padding val_lo zeroes out-of-bounds contributions outright, so no
+    # validity mask is needed (the message is unnormalized)
+    pq = jnp.pad(xpatches(val_lo), ((r, r), (0, 0), (0, 0), (0, 0)))
+    pi = jnp.pad(xpatches(img_lo), ((r, r), (0, 0), (0, 0), (0, 0)))
+
+    dx2 = jnp.arange(-r, r + 1, dtype=jnp.float32) ** 2          # (kx,)
+    inv2ss = 0.5 / (s_lo * s_lo)
+    inv2sr = 0.5 / (srgb * srgb)
+
+    def body(acc, dy):
+        qs = jax.lax.dynamic_slice(pq, (r + dy, 0, 0, 0), (hl, wl, kx, c))
+        im = jax.lax.dynamic_slice(pi, (r + dy, 0, 0, 0), (hl, wl, kx, 3))
+        d2c = jnp.sum((im - img_lo[:, :, None, :]) ** 2, axis=-1)
+        wgt = jnp.exp(-(dy.astype(jnp.float32) ** 2 + dx2) * inv2ss
+                      - d2c * inv2sr)
+        return acc + jnp.einsum("hwk,hwkc->hwc", wgt, qs), None
+
+    acc0 = jnp.zeros((hl, wl, c), values.dtype)
+    msg, _ = jax.lax.scan(body, acc0, jnp.arange(-r, r + 1))
+    msg = msg * float(stride * stride)
+    if stride > 1:
+        msg = jax.image.resize(msg, (hl * stride, wl * stride, c), "linear")
+    return msg[:h, :w]
+
+
 def unary_from_masks(masks: jnp.ndarray, valid: jnp.ndarray,
                      gt_prob: float) -> jnp.ndarray:
     """Composite label map -> unary -log probabilities (H, W, L+1).
@@ -198,10 +270,13 @@ def dense_crf(image: jnp.ndarray, unary: jnp.ndarray,
     log_unary = -unary
     q = jax.nn.softmax(log_unary, axis=-1)
 
+    bilat = (bilateral_filter_conv if params.bilateral_impl == "conv"
+             else bilateral_filter)
+
     def body(_, q):
         m_gauss = gaussian_blur(q, params.gauss_sxy) - q  # subtract self (k(i,i)=1)
-        m_bilat = bilateral_filter(image, q, params.bilateral_sxy,
-                                   params.bilateral_srgb) - q
+        m_bilat = bilat(image, q, params.bilateral_sxy,
+                        params.bilateral_srgb) - q
         logits = (log_unary
                   + params.gauss_compat * m_gauss
                   + params.bilateral_compat * m_bilat)

@@ -459,11 +459,7 @@ def cmd_dcrf(args):
         refined = label[None, :, :] == (1 + jnp.arange(capacity)[:, None, None])
         return refined, jnp.any(refined, axis=(1, 2)) & valid
 
-    # sequential over the batch (lax.map, not vmap): the 5-D bilateral grid is
-    # ~0.4 GB/image at 640^2 — a vmapped batch of 8 OOMs HBM; per-image the
-    # grid ops are large enough to fill the chip anyway
-    refine_fn = jax.jit(
-        lambda im, ma, va: jax.lax.map(lambda t: refine(*t), (im, ma, va)))
+    refine_fn = jax.jit(jax.vmap(refine))
     mapper = PartRankingMapper(image_size=cfg.data.image_size, capacity=capacity)
 
     n_saved, n_batches, t0 = 0, 0, time.perf_counter()

@@ -8,6 +8,7 @@ import pytest
 from partdistillation_tpu.ops.dense_crf import (
     DenseCRFParams,
     bilateral_filter,
+    bilateral_filter_conv,
     dense_crf,
     gaussian_blur,
     unary_from_masks,
@@ -62,6 +63,48 @@ class TestKernels:
         # grid is an approximation: check strong correlation, not equality
         corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
         assert corr > 0.9, f"bilateral grid corr {corr}"
+
+    def test_bilateral_conv_matches_brute_force(self):
+        """Windowed-conv bilateral (the production default): near-exact at
+        stride 1, and still tighter than the grid at stride 2."""
+        rng = np.random.RandomState(1)
+        h = w = 24
+        image = np.zeros((h, w, 3), np.float32)
+        image[:, : w // 2] = 30.0
+        image[:, w // 2 :] = 220.0
+        image += rng.randn(h, w, 3).astype(np.float32) * 3
+        values = rng.rand(h, w, 2).astype(np.float32)
+        ref = brute_force_bilateral(image, values, 4.0, 40.0)
+
+        for stride, min_corr, max_rel in ((1, 0.999, 0.02), (2, 0.98, 0.06)):
+            ours = np.asarray(bilateral_filter_conv(
+                jnp.asarray(image), jnp.asarray(values), 4.0, 40.0,
+                stride=stride))
+            corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+            rel = np.abs(ours - ref).mean() / np.abs(ref).mean()
+            assert corr > min_corr and rel < max_rel, (stride, corr, rel)
+
+    def test_bilateral_conv_respects_color_edges(self):
+        h = w = 20
+        image = np.zeros((h, w, 3), np.float32)
+        image[:, : w // 2] = 10.0
+        image[:, w // 2 :] = 245.0
+        values = np.zeros((h, w, 1), np.float32)
+        values[:, : w // 2] = 1.0
+        out = np.asarray(bilateral_filter_conv(
+            jnp.asarray(image), jnp.asarray(values), sxy=5.0, srgb=13.0))
+        left = out[:, : w // 2 - 2].mean()
+        right = out[:, w // 2 + 2 :].mean()
+        assert left > 10 * max(right, 1e-6)
+
+    def test_bilateral_conv_odd_sizes_and_stride_padding(self):
+        # non-divisible H/W exercises the pad + crop path
+        rng = np.random.RandomState(2)
+        image = jnp.asarray(rng.rand(23, 17, 3).astype(np.float32) * 255)
+        values = jnp.asarray(rng.rand(23, 17, 2).astype(np.float32))
+        out = bilateral_filter_conv(image, values, sxy=10.0, srgb=13.0)
+        assert out.shape == (23, 17, 2)
+        assert bool(jnp.all(jnp.isfinite(out)))
 
     def test_bilateral_respects_color_edges(self):
         # values on the left half must not bleed across a hard color edge

@@ -217,6 +217,9 @@ class PipelineConfig:
     # run the stage's evaluator on the held-out GT set every N steps during
     # training (the reference's TEST.EVAL_PERIOD, train_multi.sh:61); 0 = off
     eval_every: int = 0
+    # save prediction-vs-GT overlay collages of the live train batch every N
+    # steps (the reference's VIS_PERIOD, proposal_model.py:198-211); 0 = off
+    vis_every: int = 0
     n_model_shards: int = 1
 
 

@@ -494,10 +494,62 @@ def cmd_dcrf(args):
 # ---------------------------------------------------------------- training
 
 
-def _train_loop(cfg, trainer, loader, stage: str, eval_fn=None):
+def _make_vis_fn(model, vis_dir: str, needs_object_class: bool = False,
+                 topk: int = 6, max_images: int = 4):
+    """In-train overlay snapshots (the reference's VIS_PERIOD path,
+    proposal_model.py:198-211, 451-475): predicted top-k masks (left) next to
+    the GT/pseudo-label masks (right) for the first images of the live train
+    batch, saved as one collage PNG per visualization step."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.meta_arch.proposal import normalize_images
+    from .utils.visualize import make_collage, overlay_masks, save_image
+
+    os.makedirs(vis_dir, exist_ok=True)
+
+    @jax.jit
+    def predict(params, images, gt_object_class):
+        kwargs = {"gt_object_class": gt_object_class} if needs_object_class else {}
+        out = model.apply(params, normalize_images(images), **kwargs)
+        probs = jax.nn.softmax(out["pred_logits"], axis=-1)[..., :-1].max(-1)
+        scores, idx = jax.lax.top_k(probs, topk)
+        masks = jnp.take_along_axis(out["pred_masks"], idx[:, :, None, None],
+                                    axis=1)
+        h, w = images.shape[1:3]
+        masks = jax.vmap(
+            lambda m: jax.image.resize(m, (topk, h, w), "linear"))(masks)
+        return masks > 0.0, scores
+
+    def vis_fn(params, batch, step):
+        n = min(max_images, len(batch["image"]))
+        images = np.asarray(batch["image"][:n])
+        goc = jnp.asarray(np.asarray(
+            batch.get("gt_object_class", np.zeros(len(batch["image"]))),
+            np.int32))[:n]
+        masks, _ = predict(params, jnp.asarray(images), goc)
+        masks = np.asarray(masks)
+        gt = batch.get("masks", batch.get("part_masks"))
+        gt_valid = batch.get("valid", batch.get("part_valid"))
+        panels = []
+        for i in range(n):
+            panels.append(overlay_masks(images[i], masks[i]))
+            if gt is not None:
+                panels.append(overlay_masks(
+                    images[i], np.asarray(gt[i]) > 0.5,
+                    valid=np.asarray(gt_valid[i]) > 0))
+        save_image(os.path.join(vis_dir, f"step_{step:06d}.png"),
+                   make_collage(panels, cols=2))
+
+    return vis_fn
+
+
+def _train_loop(cfg, trainer, loader, stage: str, eval_fn=None, vis_fn=None):
     """Hot loop + periodic held-out evaluation (TEST.EVAL_PERIOD parity:
     ``eval_fn(params) -> metrics`` runs every ``cfg.eval_every`` steps and its
-    scalars land in metrics.jsonl under ``eval/``)."""
+    scalars land in metrics.jsonl under ``eval/``) + periodic train-batch
+    overlay snapshots (VIS_PERIOD parity: ``vis_fn(params, batch, step)``
+    every ``cfg.vis_every`` steps)."""
     from .engine.metrics import MetricLogger
 
     mlog = MetricLogger(os.path.join(cfg.checkpoint_dir, "logs", stage),
@@ -507,6 +559,9 @@ def _train_loop(cfg, trainer, loader, stage: str, eval_fn=None):
     for batch in loader:
         batch = {k: v for k, v in batch.items() if k != "image_id"}
         metrics = trainer.train_step(batch)
+        if (vis_fn is not None and cfg.vis_every > 0
+                and trainer.step % cfg.vis_every == 0):
+            vis_fn(trainer.state.params, batch, trainer.step)
         n_img += int(np.asarray(batch["batch_valid"]).sum())
         step = trainer.step
         if step % cfg.log_every == 0:
@@ -596,7 +651,11 @@ def cmd_train_proposal(args):
         infer_cfg = _dc.replace(
             model_cfg, test_topk=min(model_cfg.test_topk, args.num_queries))
         eval_fn = lambda p: _proposal_ar_eval(cfg, args, infer_cfg, p, ds)  # noqa: E731
-    stats = _train_loop(cfg, trainer, loader, "train-proposal", eval_fn=eval_fn)
+    vis_fn = (_make_vis_fn(model, os.path.join(cfg.checkpoint_dir, "logs",
+                                               "train-proposal", "vis"))
+              if cfg.vis_every > 0 else None)
+    stats = _train_loop(cfg, trainer, loader, "train-proposal",
+                        eval_fn=eval_fn, vis_fn=vis_fn)
     print(json.dumps({"stage": "train-proposal", **stats}))
 
 
@@ -667,7 +726,12 @@ def cmd_train_distillation(args):
             test_topk=min(model_cfg.test_topk, args.num_queries * args.num_parts))
         eval_fn = lambda p: _distill_match_eval(  # noqa: E731
             cfg, args, infer_cfg, p, phases=("match", "eval"), ds=ds)
-    stats = _train_loop(cfg, trainer, loader, "train-distillation", eval_fn=eval_fn)
+    vis_fn = (_make_vis_fn(model, os.path.join(cfg.checkpoint_dir, "logs",
+                                               "train-distillation", "vis"),
+                           needs_object_class=True)
+              if cfg.vis_every > 0 else None)
+    stats = _train_loop(cfg, trainer, loader, "train-distillation",
+                        eval_fn=eval_fn, vis_fn=vis_fn)
     print(json.dumps({"stage": "train-distillation", **stats}))
 
 
@@ -1311,7 +1375,15 @@ def cmd_train_supervised(args):
     eval_fn = None
     if cfg.eval_every > 0:
         eval_fn = lambda p: _supervised_eval(cfg, args, model_cfg, p, ds)  # noqa: E731
-    stats = _train_loop(cfg, trainer, loader, "train-supervised", eval_fn=eval_fn)
+    vis_fn = None
+    if cfg.vis_every > 0:
+        from .models.segmenter import MaskFormerSegmenter
+
+        vis_fn = _make_vis_fn(
+            MaskFormerSegmenter(model_cfg.segmenter),
+            os.path.join(cfg.checkpoint_dir, "logs", "train-supervised", "vis"))
+    stats = _train_loop(cfg, trainer, loader, "train-supervised",
+                        eval_fn=eval_fn, vis_fn=vis_fn)
     print(json.dumps({"stage": "train-supervised", **stats}))
 
 

@@ -151,8 +151,15 @@ def test_stage2b_dcrf(pipeline_env, capsys):
 def test_stage3_train_proposal(pipeline_env, capsys):
     ov = pipeline_env["overrides"]
     res = _run(["train-proposal", "--tiny", "--num-queries", "8",
-                "--no-freeze-trunk", "--set", *ov], capsys)
+                "--no-freeze-trunk", "--set", *ov, "vis_every=2"], capsys)
     assert res["steps"] >= 2
+    # VIS_PERIOD parity: an overlay collage of the live train batch exists
+    vis = pipeline_env["tmp"] / "ckpt/logs/train-proposal/vis/step_000002.png"
+    assert vis.exists()
+    from PIL import Image
+
+    arr = np.asarray(Image.open(str(vis)))
+    assert arr.ndim == 3 and arr.shape[0] >= 64 and arr.shape[1] >= 128
 
 
 def test_stage4_rank_cluster_save(pipeline_env, capsys):

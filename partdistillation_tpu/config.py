@@ -201,6 +201,10 @@ class DataConfig:
     partition_index: Optional[int] = None
     total_partitions: Optional[int] = None
     debug_limit: Optional[int] = None
+    # optional JSON {synset_code: class_id} overriding the directory-derived
+    # vocabulary — aligns runs across dataset variants (the reference's
+    # imagenet1k_to_22k_mapping.pkl, part_imagenet_mapper.py:100-103)
+    vocab_map: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,13 +58,24 @@ def read_class_names(root: str) -> Dict[str, str]:
     return names
 
 
-def global_code_to_id(root: str) -> Dict[str, int]:
+def global_code_to_id(root: str,
+                      vocab_map: Optional[str] = None) -> Dict[str, int]:
     """The dataset-global synset-code -> class-id mapping: ids assigned over
     the sorted full class-directory list, identical on every host/shard. This
     is the vocabulary stages 4/5 key their centroid banks and part-classifier
-    head by — eval datasets must map their codes through it (the analog of
-    the reference's imagenet1k_to_22k_mapping.pkl, part_imagenet_mapper.py
-    :100-103)."""
+    head by — eval datasets must map their codes through it.
+
+    ``vocab_map``: optional path to a JSON ``{code: id}`` file that REPLACES
+    the derived mapping — the supplied-vocabulary contract for aligning runs
+    across dataset variants (e.g. scoring a 22k-trained head on a 1k split),
+    the analog of the reference's imagenet1k_to_22k_mapping.pkl
+    (part_imagenet_mapper.py:100-103)."""
+    if vocab_map:
+        import json
+
+        with open(vocab_map) as f:
+            loaded = json.load(f)
+        return {str(c): int(i) for c, i in loaded.items()}
     codes = sorted(
         d for d in os.listdir(root)
         if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
@@ -95,6 +106,7 @@ def load_imagenet(
     skip_ids: Optional[Set[str]] = None,
     object_mask_store: Optional[str] = None,
     debug_limit: Optional[int] = None,
+    vocab_map: Optional[str] = None,
 ) -> List[dict]:
     """Items: {image_id, file_name, class_code, class_id, class_name[, object_record]}.
 
@@ -112,8 +124,10 @@ def load_imagenet(
     # stages 4/5 key centroid banks and the part-classifier head by class_id
     # across the whole dataset. Filters only narrow which classes are
     # *enumerated*.
-    code_to_id = global_code_to_id(root)
-    codes = sorted(code_to_id)
+    code_to_id = global_code_to_id(root, vocab_map)
+    # with a supplied vocabulary, only classes that exist on disk enumerate
+    codes = sorted(c for c in code_to_id
+                   if os.path.isdir(os.path.join(root, c)))
     if single_class_code:
         codes = [c for c in codes if c == single_class_code]
     if class_list is not None:

@@ -98,6 +98,7 @@ def _imagenet_items(cfg, args, object_store: Optional[str] = None):
         total_partitions=num_shards if num_shards > 1 else None,
         object_mask_store=object_store,
         debug_limit=cfg.data.debug_limit,
+        vocab_map=cfg.data.vocab_map or None,
     )
 
 
@@ -261,7 +262,7 @@ def _assign_eval_class_ids(cfg, ds: dict, num_obj: int) -> list:
     from .data.datasets.imagenet import global_code_to_id
 
     try:
-        code_to_id = global_code_to_id(cfg.data.imagenet_root)
+        code_to_id = global_code_to_id(cfg.data.imagenet_root, cfg.data.vocab_map or None)
     except FileNotFoundError:
         code_to_id = {}
     if not code_to_id:
@@ -340,7 +341,7 @@ def cmd_detect(args):
     if args.clip_model:
         from .data.datasets.imagenet import global_code_to_id, read_class_names
 
-        code_to_id = global_code_to_id(cfg.data.imagenet_root)
+        code_to_id = global_code_to_id(cfg.data.imagenet_root, cfg.data.vocab_map or None)
         names = read_class_names(cfg.data.imagenet_root)
         vocab = [names.get(c, c) for c in sorted(code_to_id)]
         scorer = clip_region_scorer(args.clip_model, vocab)
@@ -868,7 +869,7 @@ def cmd_rank(args):
             from .data.datasets.imagenet import global_code_to_id
 
             try:
-                num_obj = len(global_code_to_id(cfg.data.imagenet_root))
+                num_obj = len(global_code_to_id(cfg.data.imagenet_root, cfg.data.vocab_map or None))
             except FileNotFoundError:
                 num_obj = 1 + max((it["class_id"] for it in items), default=0)
         mapper = PartRankingMapper(image_size=cfg.data.image_size,

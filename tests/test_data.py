@@ -98,6 +98,24 @@ class TestRegistrars:
         rest = load_imagenet(mini_imagenet, skip_ids=done)
         assert len(rest) == 10
 
+    def test_supplied_vocabulary_mapping(self, mini_imagenet, tmp_path):
+        """A JSON vocab file replaces the derived mapping (the reference's
+        imagenet1k_to_22k_mapping.pkl contract, part_imagenet_mapper.py
+        :100-103): ids come from the file, and vocab entries without a class
+        dir on disk don't enumerate."""
+        import json
+
+        from partdistillation_tpu.data.datasets.imagenet import global_code_to_id
+
+        vocab = {"n01440764": 100, "n01443537": 205, "n09999999": 7}
+        vpath = tmp_path / "vocab.json"
+        vpath.write_text(json.dumps(vocab))
+        assert global_code_to_id(mini_imagenet, str(vpath)) == vocab
+        items = load_imagenet(mini_imagenet, vocab_map=str(vpath))
+        by_code = {i["class_code"]: i["class_id"] for i in items}
+        # n01484850 is on disk but not in the vocabulary; n09999999 has no dir
+        assert by_code == {"n01440764": 100, "n01443537": 205}
+
     def test_imagenet_with_object_store_filter(self, mini_imagenet, tmp_path):
         items = load_imagenet(mini_imagenet)
         store_dir = str(tmp_path / "stage1")

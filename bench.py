@@ -33,7 +33,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
-def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16):
+def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
+          point_mode: str = "grid"):
     import optax
 
     from partdistillation_tpu.engine.optim import OptimizerConfig, build_optimizer
@@ -66,6 +67,7 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16):
             # stage-3 run uses importance_sampling_ratio=0.0 (train_multi.sh:21)
             importance_sample_ratio=0.0,
             matcher=MatcherConfig(num_points=12544),
+            point_mode=point_mode,
         ),
     )
 

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["fused_masked_attention", "fused_window_attention",
-           "attention_reference"]
+           "attention_reference", "attention_reference_t"]
 
 _LANE = 128
 
@@ -242,117 +242,160 @@ def _fused_bwd(q_tile, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def _fwd_kernel_allheads(q_ref, kt_ref, vt_ref, m_ref, out_ref, *, heads: int):
-    """One program per window: all heads unrolled (windowed attention has
-    thousands of tiny windows — a per-(window, head) grid is dispatch-bound
-    at ~0.7 us/program, profiled)."""
+def attention_reference_t(qt, kt, vt, neg_mask, scale=1.0):
+    """XLA composition in the TRANSPOSED domain: qt/kt/vt (B,H,D,N),
+    neg_mask (B,1|H,Nq,Nk) additive; returns (B,H,D,Nq)."""
+    logits = jnp.einsum("bhdq,bhdk->bhqk", qt * jnp.asarray(scale, qt.dtype),
+                        kt, preferred_element_type=jnp.float32)
+    if neg_mask is not None:
+        logits = logits + neg_mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+    return jnp.einsum("bhqk,bhdk->bhdq", probs, vt)
+
+
+def _fwd_kernel_allheads_t(q_ref, k_ref, v_ref, m_ref, out_ref, *, heads: int,
+                           scale: float):
+    """One program per window, all heads unrolled (a per-(window, head) grid
+    is dispatch-bound at ~0.7 us/program, profiled). Operands arrive in the
+    TRANSPOSED (D, N) feature-major layout that the qkv projection emits
+    directly (models/swin.py TransposedDense): the logits dot contracts the
+    sublane D axis of both operands — the MXU's native systolic form — and no
+    HLO-level relayout of the (B,N,3HD) qkv tensor is ever needed (the
+    token-major form costs ~12 ms/step in 32-lane-minor transpose copies at
+    Swin res2, profiled). The 1/sqrt(d) q-scale is folded in."""
     for hh in range(heads):
-        p = _softmax_p(q_ref[0, hh], kt_ref[0, hh], m_ref[0, hh])
+        qt = q_ref[0, hh] * q_ref.dtype.type(scale)          # (D, Nq)
+        s = jax.lax.dot_general(qt, k_ref[0, hh], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (Nq,Nk)
+        s = s + m_ref[0, hh].astype(jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
         out_ref[0, hh] = jax.lax.dot_general(
-            p.astype(vt_ref.dtype), vt_ref[0, hh], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+            v_ref[0, hh], p.astype(v_ref.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)  # (D,Nq)
 
 
-def _fused_periodic_fwd_pallas(q, k, v, bias, q_tile: int,
-                               interpret: bool = False):
-    """Forward with a PERIODIC additive bias: bias (P, H, N, K) broadcasts
-    over the window-batch axis as ``bi % P`` (Swin: the shift mask repeats per
-    image, the rel-pos bias is shared by all windows). Avoids materializing a
-    (B, H, N, N) mask for thousands of windows."""
+def _fused_periodic_fwd_pallas(qt, kt, vt, bias, scale, interpret: bool = False):
+    """Forward with a PERIODIC additive bias: bias (P, H, Nq, Nk) broadcasts
+    over the window-batch axis (Swin: the shift mask repeats per image, the
+    rel-pos bias is shared by all windows). Avoids materializing a
+    (B, H, N, N) mask for thousands of windows. qt/kt/vt: (B, H, D, N).
+
+    The grid is (heads, period, B/period): the innermost grid dim walks
+    windows that SHARE a bias block, so Pallas's block-delta tracking skips
+    the bias DMA between consecutive programs — otherwise the (hc, N, K) f32
+    bias is re-fetched per window (~2.8 GB/step at Swin res2, profiled)."""
     import functools as ft
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, h, nq, d = q.shape
-    p = bias.shape[0]
-    qp = _pad_to(q, 2, q_tile)
-    kt = _pad_to(jnp.swapaxes(k, 2, 3), 3, _LANE)
-    vt = _pad_to(jnp.swapaxes(v, 2, 3), 3, _LANE)
-    # f32 bias (unlike the decoder's 0/-1e9 mask, rel-pos biases carry real
-    # values — keep full precision; the per-period tensor is small anyway)
-    bp = _pad_to(_pad_to(bias.astype(jnp.float32), 3, _LANE, -1e9), 2, q_tile)
-    nqp, nkp = qp.shape[2], kt.shape[3]
+    b, h, d, nq = qt.shape
+    nk = kt.shape[3]
+    per = bias.shape[0]
+    assert b % per == 0, (b, per)
+    assert nq % 8 == 0 and nk % 8 == 0 and d % 8 == 0, (nq, nk, d)
+    bp = bias.astype(jnp.float32)
 
     # head chunk: as many heads per program as fit the ~16 MB VMEM budget
-    # (q + kt + vt + out bf16, bias + softmax scratch f32)
-    per_head = (2 * nqp * d * 2 + 2 * d * nkp * 2 + 2 * nqp * nkp * 4)
+    # (q + k + v + out bf16 lane-padded to 128-multiples, bias + scratch f32)
+    lq, lk = -(-nq // _LANE) * _LANE, -(-nk // _LANE) * _LANE
+    per_head = (2 * d * lq * 2 + 2 * d * lk * 2 + 2 * lq * lk * 4)
     hc = h
     while hc > 1 and hc * per_head > 10 * 2**20:
         hc //= 2
     while h % hc:
         hc -= 1
 
-    out = pl.pallas_call(
-        ft.partial(_fwd_kernel_allheads, heads=hc),
-        out_shape=jax.ShapeDtypeStruct((b, h, nqp, d), q.dtype),
-        grid=(b, h // hc),
+    return pl.pallas_call(
+        ft.partial(_fwd_kernel_allheads_t, heads=hc, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, d, nq), qt.dtype),
+        grid=(h // hc, per, b // per),
         in_specs=[
-            pl.BlockSpec((1, hc, nqp, d), lambda bi, hi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, hc, d, nq),
+                         lambda hi, pi, bj: (bj * per + pi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hc, d, nkp), lambda bi, hi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, hc, d, nk),
+                         lambda hi, pi, bj: (bj * per + pi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hc, d, nkp), lambda bi, hi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, hc, d, nk),
+                         lambda hi, pi, bj: (bj * per + pi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hc, nqp, nkp), lambda bi, hi: (bi % p, hi, 0, 0),
+            pl.BlockSpec((1, hc, nq, nk),
+                         lambda hi, pi, bj: (pi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hc, nqp, d), lambda bi, hi: (bi, hi, 0, 0),
+        out_specs=pl.BlockSpec((1, hc, d, nq),
+                               lambda hi, pi, bj: (bj * per + pi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(qp, kt, vt, bp)
-    return out[:, :, :nq]
+    )(qt, kt, vt, bp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _fused_periodic(q, k, v, bias, q_tile):
-    return _fused_periodic_fwd_pallas(q, k, v, bias, q_tile)
+def _fused_periodic(qt, kt, vt, bias, scale):
+    return _fused_periodic_fwd_pallas(qt, kt, vt, bias, scale)
 
 
-def _fused_periodic_fwd(q, k, v, bias, q_tile):
-    return _fused_periodic_fwd_pallas(q, k, v, bias, q_tile), (q, k, v, bias)
+def _fused_periodic_fwd(qt, kt, vt, bias, scale):
+    return (_fused_periodic_fwd_pallas(qt, kt, vt, bias, scale),
+            (qt, kt, vt, bias))
 
 
-def _fused_periodic_bwd(q_tile, res, g):
-    q, k, v, bias = res
-    b = q.shape[0]
+def _fused_periodic_bwd(scale, res, g):
+    qt, kt, vt, bias = res
+    b = qt.shape[0]
     # expand the periodic bias; the XLA-composition VJP gives exact grads
     # (incl. d/d bias, reduced back over the period by the broadcast transpose)
     reps = b // bias.shape[0]
     full = jnp.tile(bias, (reps, 1, 1, 1))
-    _, vjp = jax.vjp(lambda *a: attention_reference(*a), q, k, v, full)
-    dq, dk, dv, dfull = vjp(g)
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, bb: attention_reference_t(qq, kk, vv, bb, scale),
+        qt, kt, vt, full)
+    dqt, dkt, dvt, dfull = vjp(g)
     dbias = dfull.reshape((reps,) + bias.shape).sum(0)
-    return dq, dk, dv, dbias
+    return dqt, dkt, dvt, dbias
 
 
 _fused_periodic.defvjp(_fused_periodic_fwd, _fused_periodic_bwd)
 
 
 def fused_window_attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
+    qt: jnp.ndarray,
+    kt: jnp.ndarray,
+    vt: jnp.ndarray,
     bias: jnp.ndarray,
-    q_tile: Optional[int] = None,
+    scale: float = 1.0,
 ) -> jnp.ndarray:
-    """Windowed attention (B, H, N, D) with a periodic additive bias
-    (P, H, N, N); B % P == 0, window-batch index bi uses bias[bi % P].
+    """Windowed attention in the TRANSPOSED domain: qt/kt/vt (B, H, D, N),
+    returns (B, H, D, N); periodic additive bias (P, H, N, N) with B % P == 0,
+    window-batch index bi uses bias[bi % P].
 
-    q must be pre-scaled. Used by the Swin backbone: the f32 (B, H, N, N)
-    logits of thousands of windows never round-trip through HBM.
+    q is UNSCALED; the 1/sqrt(d) ``scale`` is folded into the kernel. The
+    feature-major layout is what a transposed-output qkv projection emits
+    directly (models/swin.py TransposedDense), so no relayout copies surround
+    the kernel, and the f32 (B, H, N, N) logits of thousands of windows never
+    round-trip through HBM.
     """
     if jax.default_backend() != "tpu":
-        b = q.shape[0]
+        b = qt.shape[0]
         if bias.shape[0] == 1:
             full = bias
         else:
             full = jnp.tile(bias, (b // bias.shape[0], 1, 1, 1))
-        return attention_reference(q, k, v, full)
-    if q_tile is None:
-        n = q.shape[2]
-        q_tile = n if n % 8 == 0 else -(-n // 8) * 8
-    return _fused_periodic(q, k, v, bias.astype(jnp.float32), q_tile)
+        return attention_reference_t(qt, kt, vt, full, scale)
+    nq = qt.shape[3]
+    if nq % 8 or qt.shape[2] % 8:
+        # generic window sizes: pad tokens to sublane multiples, head_dim too;
+        # padded keys are blocked via the bias, padded queries sliced off
+        qp = _pad_to(_pad_to(qt, 3, 8), 2, 8)
+        kp = _pad_to(_pad_to(kt, 3, 8), 2, 8)
+        vp = _pad_to(_pad_to(vt, 3, 8), 2, 8)
+        bp = _pad_to(_pad_to(bias.astype(jnp.float32), 3, 8, -1e9), 2, 8)
+        out = _fused_periodic(qp, kp, vp, bp, scale)
+        return out[:, :, : qt.shape[2], :nq]
+    return _fused_periodic(qt, kt, vt, bias.astype(jnp.float32), scale)
 
 
 def fused_masked_attention(

@@ -150,25 +150,26 @@ class TestFusedWindowAttention:
             _fused_periodic_fwd_pallas, attention_reference)
 
         q, k, v, bias = self._inputs()
-        out = _fused_periodic_fwd_pallas(q, k, v, bias, q_tile=16, interpret=True)
+        qt, kt, vt = (jnp.swapaxes(a, 2, 3) for a in (q, k, v))
+        out = _fused_periodic_fwd_pallas(qt, kt, vt, bias, 0.5, interpret=True)
         full = jnp.tile(bias, (q.shape[0] // bias.shape[0], 1, 1, 1))
-        ref = attention_reference(q, k, v, full)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-5, rtol=1e-5)
+        ref = attention_reference(q * 0.5, k, v, full)
+        np.testing.assert_allclose(np.asarray(jnp.swapaxes(out, 2, 3)),
+                                   np.asarray(ref), atol=1e-5, rtol=1e-5)
 
     def test_periodic_grads_match_reference(self):
         from partdistillation_tpu.ops.fused_attention import (
             _fused_periodic_bwd, attention_reference)
 
         q, k, v, bias = self._inputs(b_img=1, nw=2, heads=2, n=8, d=4)
-        g = jnp.ones((q.shape[0], 2, 8, 4), jnp.float32)
-        dq, dk, dv, dbias = _fused_periodic_bwd(8, (q, k, v, bias), g)
+        qt, kt, vt = (jnp.swapaxes(a, 2, 3) for a in (q, k, v))
+        g = jnp.ones((q.shape[0], 2, 4, 8), jnp.float32)  # (B,H,D,N) cotangent
+        dqt, dkt, dvt, dbias = _fused_periodic_bwd(0.5, (qt, kt, vt, bias), g)
         # finite-structure checks + bias-period reduction
-        assert dq.shape == q.shape and dbias.shape == bias.shape
-        full = jnp.tile(bias, (q.shape[0] // bias.shape[0], 1, 1, 1))
+        assert dqt.shape == qt.shape and dbias.shape == bias.shape
         _, vjp = jax.vjp(lambda b_: attention_reference(
-            q, k, v, jnp.tile(b_, (q.shape[0] // bias.shape[0], 1, 1, 1))), bias)
-        (dbias_ref,) = vjp(g)
+            q * 0.5, k, v, jnp.tile(b_, (q.shape[0] // bias.shape[0], 1, 1, 1))), bias)
+        (dbias_ref,) = vjp(jnp.swapaxes(g, 2, 3))
         np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
                                    atol=1e-5, rtol=1e-5)
 

@@ -34,7 +34,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
 def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
-          point_mode: str = "grid"):
+          point_mode: str = "auto"):
     import optax
 
     from partdistillation_tpu.engine.optim import OptimizerConfig, build_optimizer

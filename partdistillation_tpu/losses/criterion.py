@@ -50,10 +50,21 @@ class CriterionConfig:
     # the same expected loss as iid uniform points); with ratio>0 the losses
     # run dense on the prediction's native grid with importance *weights*: the
     # ~ratio*P most uncertain pixels (sort-free threshold bisection) get
-    # weight 1 and every pixel gets the uniform fraction's expected weight — a
-    # Rao-Blackwellized version of PointRend's sampled estimator.
+    # weight 1 and every pixel gets the uniform fraction's expected weight.
     # "random": exact reference semantics (criterion.py:176-196) via gathers.
-    point_mode: str = "grid"
+    # "auto" (default): grid when importance_sample_ratio == 0, else random.
+    # A/B evidence (tools/ab_point_mode.py, 2x300-step tiny stage-3 runs,
+    # PERF.md): at ratio==0 grid and random converge to the same dense-mask
+    # dice (0.028/0.036 vs 0.024/0.035 across seeds); at ratio==0.75 the
+    # dense WEIGHTED estimator trains the point loss lower but yields ~2x
+    # worse dense dice across 3 seeds — not equivalent, so ratio>0 keeps the
+    # reference's sampled form.
+    point_mode: str = "auto"
+
+    def resolved_point_mode(self) -> str:
+        if self.point_mode != "auto":
+            return self.point_mode
+        return "grid" if self.importance_sample_ratio == 0 else "random"
 
 
 def _uncertainty_points(mask_logits: jnp.ndarray, key: jax.Array, cfg: CriterionConfig):
@@ -115,7 +126,7 @@ def _loss_masks_one(pred_mask, tgt_mask, key, cfg: CriterionConfig):
     pred_mask: (h, w) logits at the prediction's native (stride-4) resolution;
     tgt_mask: (H, W) binary at image resolution.
     """
-    if cfg.point_mode == "grid":
+    if cfg.resolved_point_mode() == "grid":
         n_imp = int(cfg.importance_sample_ratio * cfg.num_points)
         if n_imp == 0:
             # jittered regular grid, fully separable sampling (no gathers)

@@ -38,9 +38,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sample_level"]
+__all__ = ["sample_level", "sample_level_folded"]
 
 _TN = 256  # taps per tile; R scratch = TN * H*D * 4B
+_TQ = 256  # queries per program in the folded kernel
 
 
 def _kernel_expand(x_ref, y_ref, w_ref, v_ref, e_ref, sel_ref, o_ref, *,
@@ -201,6 +202,138 @@ def _forward(v_whd, x, y, attw, h, w, variant: str = "expand"):
             **common,
         )(x[:, None, :], y[:, None, :], attw[:, None, :], v_whd, sel)
     return out[:, :n]
+
+
+def _kernel_folded(x_ref, y_ref, w_ref, v_ref, o_ref, *, h: int, w: int,
+                   p: int, tyc: int):
+    """P-FOLDED thin-hat kernel: one output row per QUERY (not per tap).
+
+    The XLA dense-hat build evaluates both hat functions inline at every
+    (query, key) element — ~11 VPU ops per element per point, 44 with P=4
+    (the build is ~90% of the level-0 fusion, profiled). Here the hats are
+    built THIN once per query tile — hx (TQ, W), hy (TQ, H), attention
+    weight folded into hx — and the dense LHS tile is assembled column-wise:
+    for key row y the block is sum_p hy_p[:, y] * hxw_p, i.e. one static
+    lane-slice broadcast + multiply + add per point (~7 ops/elem), all 2-D
+    (Mosaic has no 3-D reshape/broadcast). Keys are tiled along y-ROWS so V
+    stays in its natural y-major flat (H*W, D) layout — no relayout.
+
+    The P points are folded into the LHS before the dot, so the MXU
+    contraction is the same P-times-smaller (TQ, HW) @ (HW, D) product as
+    the XLA form — unlike the per-tap kernels above, which do 4x the FLOPs.
+    """
+    dtype = v_ref.dtype
+    tq = o_ref.shape[1]
+
+    colw = jax.lax.broadcasted_iota(jnp.int32, (tq, w), 1).astype(jnp.float32)
+    colh = jax.lax.broadcasted_iota(jnp.int32, (tq, h), 1).astype(jnp.float32)
+    hxw, hy = [], []
+    for pi in range(p):
+        xs = x_ref[0, pi, :]
+        ys = y_ref[0, pi, :]
+        ws = w_ref[0, pi, :]
+        hxw.append(jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - colw))
+                   * ws[:, None])
+        hy.append(jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - colh)))
+
+    acc = jnp.zeros((tq, v_ref.shape[-1]), jnp.float32)
+    for kt in range(h // tyc):
+        cols = []
+        for j in range(tyc):
+            yy = kt * tyc + j
+            col = None
+            for pi in range(p):
+                t = hy[pi][:, yy : yy + 1] * hxw[pi]  # (TQ, W)
+                col = t if col is None else col + t
+            cols.append(col)
+        lhs = jnp.concatenate(cols, axis=1).astype(dtype)  # (TQ, tyc*W)
+        vt = v_ref[0, pl.ds(kt * tyc * w, tyc * w), :]  # (tyc*W, D)
+        acc = acc + jax.lax.dot_general(
+            lhs, vt, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sample_level_folded(v_sd, x, y, attw, h: int, w: int):
+    """P-folded weighted bilinear sampling of one level (all batch*heads).
+
+    Args:
+      v_sd: (BM, H*W, D) values — natural y-major flattening, bf16/f32.
+      x, y: (BM, P, N) pixel-space fractional coords per point
+        (align_corners=False).
+      attw: (BM, P, N) attention weights (softmax over levels x points done
+        by the caller; only this level's P columns here).
+      h, w: static level geometry.
+
+    Returns:
+      (BM, N, D) = sum_p attw_p * bilinear_sample(v, x_p, y_p), dtype of v.
+    """
+    return _forward_folded(v_sd, x, y, attw, h, w)
+
+
+def _forward_folded(v_sd, x, y, attw, h, w):
+    bm, p, n = x.shape
+    d = v_sd.shape[-1]
+    tq = _TQ
+    n_pad = -(-n // tq) * tq
+    if n_pad != n:
+        pad = ((0, 0), (0, 0), (0, n_pad - n))
+        # padded queries sample at (-2,-2): hats are zero there -> zero rows
+        x = jnp.pad(x, pad, constant_values=-2.0)
+        y = jnp.pad(y, pad, constant_values=-2.0)
+        attw = jnp.pad(attw, pad)
+    # key tile = tyc full y-rows; pick the largest divisor of h with
+    # tyc*w <= 1024 lanes (8 tiles of 128)
+    tyc = max(t for t in range(1, h + 1) if h % t == 0 and t * w <= 1024)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_folded, h=h, w=w, p=p, tyc=tyc),
+        grid=(bm, n_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, p, tq), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, tq), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, tq), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            # values: constant index over the query-chunk axis — loaded once
+            # per bm slice and VMEM-resident across all query tiles
+            pl.BlockSpec((1, h * w, d), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d), lambda b, c: (b, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, n_pad, d), v_sd.dtype),
+        interpret=jax.default_backend() != "tpu",  # CPU CI runs interpreted
+    )(x, y, attw, v_sd)
+    return out[:, :n]
+
+
+def _xla_reference_folded(v_sd, x, y, attw, h, w):
+    """Identical function as the XLA dense-hat composition (for the VJP)."""
+    hw = h * w
+    colx = jnp.arange(hw, dtype=jnp.float32) % w
+    coly = jnp.floor(jnp.arange(hw, dtype=jnp.float32) / w)
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - colx))
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - coly))
+    wm = jnp.sum(hx * hy * attw[..., None], axis=1).astype(v_sd.dtype)
+    return jnp.einsum("bns,bsd->bnd", wm, v_sd,
+                      preferred_element_type=jnp.float32).astype(v_sd.dtype)
+
+
+def _fwd_folded(v_sd, x, y, attw, h, w):
+    return _forward_folded(v_sd, x, y, attw, h, w), (v_sd, x, y, attw)
+
+
+def _bwd_folded(h, w, res, g):
+    v_sd, x, y, attw = res
+    _, vjp = jax.vjp(lambda *a: _xla_reference_folded(*a, h, w),
+                     v_sd, x, y, attw)
+    return vjp(g)
+
+
+sample_level_folded.defvjp(_fwd_folded, _bwd_folded)
 
 
 def _xla_reference(v_whd, x, y, attw, h, w):

@@ -88,6 +88,9 @@ def ms_deform_attn(
     if mode == "onehot_mxu":
         return _ms_deform_attn_onehot(
             value, spatial_shapes, sampling_locations, attention_weights)
+    if mode == "pallas_folded":
+        return _ms_deform_attn_pallas_folded(
+            value, spatial_shapes, sampling_locations, attention_weights)
     b, s, m, d = value.shape
     _, lq, _, num_levels, p, _ = sampling_locations.shape
     assert num_levels == len(spatial_shapes)
@@ -195,3 +198,44 @@ def _ms_deform_attn_onehot(
 
     # (B, M, Lq, D) -> (B, Lq, M*D)
     return out.astype(dtype).transpose(0, 2, 1, 3).reshape(b, lq, m * d)
+
+
+def _ms_deform_attn_pallas_folded(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pallas path: per level, the P-folded thin-hat kernel
+    (ops/msda_pallas.sample_level_folded) builds each LHS tile from thin
+    (TQ, W)/(TQ, H) hats in VMEM — ~7 VPU ops per (query, key) element vs
+    ~44 for the XLA dense-hat fusion — and runs the same P-folded
+    (TQ, HW) @ (HW, D) MXU contraction. Numerics identical to the other
+    modes (same corner weights; f32 accumulation)."""
+    from .msda_pallas import sample_level_folded
+
+    b, s, m, d = value.shape
+    _, lq, _, num_levels, p, _ = sampling_locations.shape
+    dtype = value.dtype
+
+    # (B, S, M, D) -> (BM, S, D) natural y-major flattening per level
+    val = value.transpose(0, 2, 1, 3).reshape(b * m, s, d)
+    # (B, Lq, M, L, P, 2) -> (BM, L, P, Lq, 2)
+    loc = sampling_locations.transpose(0, 2, 3, 4, 1, 5).reshape(
+        b * m, num_levels, p, lq, 2)
+    attw = attention_weights.transpose(0, 2, 3, 4, 1).reshape(
+        b * m, num_levels, p, lq).astype(jnp.float32)
+
+    out = jnp.zeros((b * m, lq, d), jnp.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        hw = h * w
+        vl = val[:, start : start + hw]
+        x = loc[:, lvl, ..., 0] * w - 0.5  # (BM, P, Lq), align_corners=False
+        y = loc[:, lvl, ..., 1] * h - 0.5
+        out = out + sample_level_folded(vl, x, y, attw[:, lvl], h, w)
+        start += hw
+
+    # (BM, Lq, D) -> (B, Lq, M*D)
+    return out.astype(dtype).reshape(b, m, lq, d).transpose(0, 2, 1, 3).reshape(
+        b, lq, m * d)

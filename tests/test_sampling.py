@@ -210,3 +210,32 @@ def test_ms_deform_attn_onehot_matches_take():
     g2 = jax.grad(loss("onehot_mxu"), argnums=(0, 1, 2))(value, loc, w)
     for a, c in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4)
+
+
+def test_ms_deform_attn_pallas_folded_matches_take():
+    """The P-folded Pallas kernel path equals the gather formulation
+    (interpret mode on CPU), including gradients through the custom VJP."""
+    shapes = ((6, 5), (3, 3))
+    b, m, d, lq, p = 2, 2, 4, 7, 3
+    s = sum(h * w for h, w in shapes)
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 3)
+    value = jax.random.normal(ks[0], (b, s, m, d))
+    loc = jax.random.uniform(ks[1], (b, lq, m, 2, p, 2), minval=-0.1, maxval=1.1)
+    w = jax.nn.softmax(
+        jax.random.normal(ks[2], (b, lq, m, 2, p)).reshape(b, lq, m, -1)
+    ).reshape(b, lq, m, 2, p)
+
+    out_take = ms_deform_attn(value, shapes, loc, w, mode="take")
+    out_pf = ms_deform_attn(value, shapes, loc, w, mode="pallas_folded")
+    np.testing.assert_allclose(np.asarray(out_take), np.asarray(out_pf),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(fn_mode):
+        return lambda v, l, ww: jnp.sum(
+            ms_deform_attn(v, shapes, l, ww, mode=fn_mode) ** 2)
+
+    g1 = jax.grad(loss("take"), argnums=(0, 1, 2))(value, loc, w)
+    g2 = jax.grad(loss("pallas_folded"), argnums=(0, 1, 2))(value, loc, w)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4)

@@ -1,4 +1,9 @@
-"""Microbench: Swin window attention — fused (all-heads kernel) vs XLA."""
+"""Microbench: Swin window attention — fused (all-heads kernel) vs XLA.
+
+Transposed-domain API (models/swin.py TransposedDense): qt/kt/vt are
+(windows, heads, head_dim, N) feature-major; the fused kernel folds the
+1/sqrt(d) scale.
+"""
 import sys, time
 import jax, jax.numpy as jnp
 import numpy as np
@@ -6,7 +11,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 sys.path.insert(0, "/root/repo")
 from partdistillation_tpu.ops.fused_attention import (
-    attention_reference, fused_window_attention)
+    attention_reference_t, fused_window_attention)
 
 def timeit(fn, args, iters=10):
     out = fn(*args); s = float(jnp.asarray(out).ravel()[0])
@@ -19,17 +24,20 @@ rng = np.random.RandomState(0)
 # (windows, heads) per Swin-L stage at 640^2, ws=12, N=144, D=32
 for bnw, heads, nw in [(3136, 6, 196), (784, 12, 49), (256, 24, 16), (64, 48, 4)]:
     n, d = 144, 32
-    q = jnp.asarray(rng.randn(bnw, heads, n, d).astype(np.float32), jnp.bfloat16)
-    k = jnp.asarray(rng.randn(bnw, heads, n, d).astype(np.float32), jnp.bfloat16)
-    v = jnp.asarray(rng.randn(bnw, heads, n, d).astype(np.float32), jnp.bfloat16)
+    qt = jnp.asarray(rng.randn(bnw, heads, d, n).astype(np.float32), jnp.bfloat16)
+    kt = jnp.asarray(rng.randn(bnw, heads, d, n).astype(np.float32), jnp.bfloat16)
+    vt = jnp.asarray(rng.randn(bnw, heads, d, n).astype(np.float32), jnp.bfloat16)
     bias = jnp.asarray(rng.randn(nw, heads, n, n).astype(np.float32))
-    full = lambda q_, k_, v_, b_: attention_reference(
-        q_, k_, v_, jnp.tile(b_, (bnw // nw, 1, 1, 1)))
+    scale = d ** -0.5
+    full = lambda q_, k_, v_, b_: attention_reference_t(
+        q_, k_, v_, jnp.tile(b_, (bnw // nw, 1, 1, 1)), scale)
     ref = jax.jit(full)
-    fus = jax.jit(fused_window_attention)
-    o1 = np.asarray(ref(q, k, v, bias), np.float32)
-    o2 = np.asarray(fus(q, k, v, bias), np.float32)
+    fus = jax.jit(lambda q_, k_, v_, b_: fused_window_attention(
+        q_, k_, v_, b_, scale=scale))
+    o1 = np.asarray(ref(qt, kt, vt, bias), np.float32)
+    o2 = np.asarray(fus(qt, kt, vt, bias), np.float32)
     err = np.abs(o1 - o2).max()
-    t_ref = timeit(ref, (q, k, v, bias))
-    t_fus = timeit(fus, (q, k, v, bias))
-    print(f"windows={bnw:5d} heads={heads:2d}: xla {t_ref:7.2f} ms, fused {t_fus:7.2f} ms, maxerr {err:.3f}")
+    t_ref = timeit(ref, (qt, kt, vt, bias))
+    t_fus = timeit(fus, (qt, kt, vt, bias))
+    print(f"windows={bnw:5d} heads={heads:2d}: xla {t_ref:7.2f} ms, "
+          f"fused {t_fus:7.2f} ms, maxerr {err:.3f}")

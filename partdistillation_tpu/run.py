@@ -178,29 +178,32 @@ def _fit_mesh(batch_size: int, n_model: int = 1):
 # ---------------------------------------------------------------- eval datasets
 
 
-def _load_eval_items(cfg, args) -> dict:
-    """``--eval-dataset`` switch shared by the eval CLIs — the reference's
+def _eval_catalog(cfg, args):
+    """DatasetCatalog of the GT part-evaluation datasets — the reference's
     TEST-set wiring (part_ranking_train_net.py TEST lists;
-    sh_files/supervised_learning/semseg/pascal.sh:6-33).
+    sh_files/supervised_learning/semseg/pascal.sh:6-33), with the
+    registrar-style name->loader indirection of register_*.py replaced by an
+    explicit process-local catalog (data/catalog.py). Loaders are lazy; the
+    per-dataset eval contract (mapper kwargs, part/object class counts)
+    rides Metadata.extra."""
+    from .data.catalog import DatasetCatalog, Metadata
 
-    Returns {name, items, mapper_kwargs, n_gt_parts, num_obj_classes}. Items
-    carry a dataset-local ``class_id`` for pascal/cityscapes (one item per
-    (image, object class), the per-object-class confusion keying of
-    register_pascal_parts.py:45 / cityscapes_part_mapper.py:59-63);
-    part_imagenet items keep their synset ``class_code`` (mapped to the
-    imagenet vocabulary by the caller when a bank index is needed).
-    """
-    name = getattr(args, "eval_dataset", "part_imagenet")
-    if name == "part_imagenet":
+    cat = DatasetCatalog()
+
+    def load_pi():
         from .data.datasets.part_imagenet import load_part_imagenet
 
-        items = load_part_imagenet(cfg.data.part_imagenet_json,
-                                   cfg.data.part_imagenet_images,
-                                   debug_limit=cfg.data.debug_limit)
-        return {"name": name, "items": items, "mapper_kwargs": {},
-                "n_gt_parts": getattr(args, "num_gt_parts", 40),
-                "num_obj_classes": None}
-    if name == "pascal":
+        return load_part_imagenet(cfg.data.part_imagenet_json,
+                                  cfg.data.part_imagenet_images,
+                                  debug_limit=cfg.data.debug_limit)
+
+    cat.register("part_imagenet", load_pi, Metadata(
+        name="part_imagenet",
+        extra={"mapper_kwargs": {},
+               "n_gt_parts": getattr(args, "num_gt_parts", 40),
+               "num_obj_classes": None}))
+
+    def load_pascal():
         from .data.datasets.pascal_parts import load_pascal_parts
         from .data.mappers import PartEvalMapper
 
@@ -220,24 +223,57 @@ def _load_eval_items(cfg, args) -> dict:
                 entry.update(image_id=f"{it['image_id']}:{cname}",
                              objects=objs, class_id=cid[cname])
                 items.append(entry)
-        return {"name": name, "items": items,
-                "mapper_kwargs": {"part_vocab": vocab},
-                "n_gt_parts": max(len(vocab), 1), "num_obj_classes": len(class_names)}
-    if name == "cityscapes":
+        md = cat.get("pascal").metadata
+        md.class_names = class_names
+        md.extra.update(mapper_kwargs={"part_vocab": vocab},
+                        n_gt_parts=max(len(vocab), 1),
+                        num_obj_classes=len(class_names))
+        return items
+
+    cat.register("pascal", load_pascal, Metadata(
+        name="pascal", extra={"mapper_kwargs": {}, "n_gt_parts": 1,
+                              "num_obj_classes": None}))
+
+    def load_cs():
         from .data.datasets.cityscapes_part import (
-            CITYSCAPES_NUM_PART_CLASSES, CITYSCAPES_PART_SIDS, load_cityscapes_part)
+            CITYSCAPES_PART_SIDS, load_cityscapes_part)
 
         raw = load_cityscapes_part(cfg.data.cityscapes_part_labels,
                                    cfg.data.cityscapes_images,
                                    debug_limit=cfg.data.debug_limit)
         sids = sorted(CITYSCAPES_PART_SIDS)
-        items = [dict(it, image_id=f"{it['image_id']}:{s}", sid=s, class_id=i)
-                 for it in raw for i, s in enumerate(sids)]
-        return {"name": name, "items": items, "mapper_kwargs": {},
-                "n_gt_parts": CITYSCAPES_NUM_PART_CLASSES,
-                "num_obj_classes": len(sids)}
-    raise SystemExit(f"unknown --eval-dataset {name!r} "
-                     "(choose part_imagenet, pascal, or cityscapes)")
+        return [dict(it, image_id=f"{it['image_id']}:{s}", sid=s, class_id=i)
+                for it in raw for i, s in enumerate(sids)]
+
+    from .data.datasets.cityscapes_part import (
+        CITYSCAPES_NUM_PART_CLASSES, CITYSCAPES_PART_SIDS)
+
+    cat.register("cityscapes", load_cs, Metadata(
+        name="cityscapes",
+        extra={"mapper_kwargs": {},
+               "n_gt_parts": CITYSCAPES_NUM_PART_CLASSES,
+               "num_obj_classes": len(CITYSCAPES_PART_SIDS)}))
+    return cat
+
+
+def _load_eval_items(cfg, args) -> dict:
+    """``--eval-dataset`` switch shared by the eval CLIs.
+
+    Returns {name, items, mapper_kwargs, n_gt_parts, num_obj_classes}. Items
+    carry a dataset-local ``class_id`` for pascal/cityscapes (one item per
+    (image, object class), the per-object-class confusion keying of
+    register_pascal_parts.py:45 / cityscapes_part_mapper.py:59-63);
+    part_imagenet items keep their synset ``class_code`` (mapped to the
+    imagenet vocabulary by the caller when a bank index is needed).
+    """
+    name = getattr(args, "eval_dataset", "part_imagenet")
+    cat = _eval_catalog(cfg, args)
+    if name not in cat:
+        raise SystemExit(f"unknown --eval-dataset {name!r} "
+                         f"(choose one of {', '.join(cat.names())})")
+    spec = cat.get(name)
+    items = spec.items()  # may fill metadata.extra (pascal vocab)
+    return {"name": name, "items": items, **spec.metadata.extra}
 
 
 def _assign_eval_class_ids(cfg, ds: dict, num_obj: int) -> list:

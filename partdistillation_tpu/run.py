@@ -1493,6 +1493,68 @@ def cmd_eval_pixel_grouping(args):
     print(json.dumps({"stage": "eval-pixel-grouping", **metrics}))
 
 
+# ---------------------------------------------------------------- profile
+
+
+def cmd_profile(args):
+    """Profiler harness: trace N stage-3 train steps on synthetic data and
+    print a scope-attributed device-time breakdown (utils/profiling.py).
+    The reference has no profiling surface at all; this is the TPU build's
+    answer to "where does the step go" (see PERF.md for captured results)."""
+    cfg = _setup(args)
+    import jax
+    import jax.numpy as jnp
+
+    from .engine.optim import OptimizerConfig
+    from .engine.trainer import Trainer
+    from .losses.criterion import CriterionConfig
+    from .losses.matcher import MatcherConfig
+    from .models.meta_arch.proposal import (ProposalModelConfig, make_loss_fn,
+                                            normalize_images)
+    from .models.segmenter import MaskFormerSegmenter
+    from .utils.profiling import summarize_trace, trace_steps
+
+    seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
+    n_pts = 1024 if args.tiny else 12544
+    model_cfg = ProposalModelConfig(
+        segmenter=seg,
+        criterion=CriterionConfig(num_classes=1, num_points=n_pts,
+                                  importance_sample_ratio=0.0,
+                                  matcher=MatcherConfig(num_points=n_pts)))
+    model = MaskFormerSegmenter(seg)
+    size = cfg.data.image_size
+    b, t = cfg.data.batch_size, cfg.data.mask_capacity
+    rng = np.random.RandomState(cfg.seed)
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (b, size, size, 3)),
+                             jnp.float32),
+        "masks": jnp.asarray((rng.rand(b, t, size, size) < 0.2)
+                             .astype(np.float32)),
+        "valid": jnp.asarray(np.tile(np.arange(t) < 4, (b, 1))),
+    }
+    params = _restore_params(
+        args.params,
+        lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
+                                    normalize_images(batch["image"][:1])),
+        torch_path=getattr(args, "torch_params", None))
+    trainer = Trainer(loss_fn=make_loss_fn(model_cfg), init_params=params,
+                      optimizer_cfg=OptimizerConfig())
+
+    def step():
+        m = trainer.train_step(batch)
+        float(jnp.asarray(m["total_loss"]).ravel()[0])  # true sync
+
+    out_dir = args.output or os.path.join(cfg.checkpoint_dir, "profile")
+    trace_steps(step, out_dir, steps=args.steps)
+    summary = summarize_trace(out_dir, steps=args.steps)
+    top = dict(list(summary.items())[: args.top])
+    for scope, ms in top.items():
+        print(f"{ms:9.2f} ms/step  {scope}")
+    print(json.dumps({"stage": "profile", "trace_dir": out_dir,
+                      "total_ms_per_step": round(sum(summary.values()), 2),
+                      "top": {k: round(v, 2) for k, v in top.items()}}))
+
+
 # ---------------------------------------------------------------- viz
 
 
@@ -1671,6 +1733,14 @@ def build_parser():
     _add_common(p)
     p.add_argument("--num-clusters", type=int, default=4)
     p.set_defaults(fn=cmd_eval_pixel_grouping)
+
+    p = sub.add_parser("profile", help="trace N train steps, print breakdown")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--num-queries", type=int, default=200)
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--output", default=None, help="trace dir (default: ckpt/profile)")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("visualize", help="collage of pseudo-label overlays")
     _add_common(p)

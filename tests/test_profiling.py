@@ -1,0 +1,37 @@
+"""Profiler harness: trace capture + summary, and the `profile` CLI."""
+
+import json
+
+from partdistillation_tpu import run as cli
+
+
+def test_profile_cli_prints_breakdown(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cli.main(["profile", "--tiny", "--steps", "2", "--num-queries", "8",
+              "--top", "5", "--set", "data.image_size=64",
+              "data.batch_size=2", "data.mask_capacity=8",
+              f"checkpoint_dir={tmp_path}/ckpt"])
+    out = capsys.readouterr().out.strip().splitlines()
+    res = json.loads(out[-1])
+    assert res["stage"] == "profile"
+    assert res["total_ms_per_step"] > 0
+    assert len(res["top"]) > 0
+    assert (tmp_path / "ckpt" / "profile").exists()
+
+
+def test_trace_steps_and_summarize(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from partdistillation_tpu.utils.profiling import (summarize_trace,
+                                                      trace_steps)
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((256, 256))
+
+    def step():
+        float(f(x))
+
+    d = trace_steps(step, str(tmp_path / "tr"), steps=2)
+    summary = summarize_trace(d, steps=2)
+    assert summary and sum(summary.values()) > 0

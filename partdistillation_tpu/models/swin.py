@@ -92,16 +92,21 @@ def _relative_position_index(window_size: int) -> np.ndarray:
 
 
 def _window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
-    """(B, H, W, C) -> (B * nH * nW, ws*ws, C); H, W divisible by ws."""
+    """(B, H, W, C) -> (nH * nW * B, ws*ws, C); H, W divisible by ws.
+
+    WINDOW-MAJOR output order (all images' window (i, j) are contiguous):
+    windows that share the same shift-mask/bias block form contiguous runs of
+    B, which lets the fused attention kernel batch several of them into one
+    program (same transpose cost as the image-major order)."""
     b, h, w, c = x.shape
     x = x.reshape(b, h // ws, ws, w // ws, ws, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+    return x.transpose(1, 3, 0, 2, 4, 5).reshape(-1, ws * ws, c)
 
 
 def _window_reverse(windows: jnp.ndarray, ws: int, b: int, h: int, w: int) -> jnp.ndarray:
     c = windows.shape[-1]
-    x = windows.reshape(b, h // ws, w // ws, ws, ws, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+    x = windows.reshape(h // ws, w // ws, b, ws, ws, c)
+    return x.transpose(2, 0, 3, 1, 4, 5).reshape(b, h, w, c)
 
 
 def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
@@ -212,8 +217,9 @@ class WindowAttention(nn.Module):
             qkvt = qkvt.transpose(0, 3, 1, 2, 4)   # (3, bnw, H, hd, n)
             qt, kt, vt = qkvt[0], qkvt[1], qkvt[2]
 
-            # periodic additive bias: rel-pos (all windows) + shift mask
-            # (repeats every nW windows = one image)
+            # grouped additive bias: rel-pos (all windows) + shift mask;
+            # windows are WINDOW-MAJOR (_window_partition), so the bnw axis
+            # is nW contiguous groups of B windows sharing one bias block
             if mask is not None:
                 per = bias[None].astype(jnp.float32) + mask[:, None]
             else:
@@ -231,9 +237,10 @@ class WindowAttention(nn.Module):
                           preferred_element_type=jnp.float32)
         attn = attn + bias[None].astype(attn.dtype)
         if mask is not None:
+            # window-major order: contiguous groups of bnw//nW share a mask
             nw = mask.shape[0]
-            attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
-            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(nw, bnw // nw, self.num_heads, n, n)
+            attn = attn + mask[:, None, None].astype(attn.dtype)
             attn = attn.reshape(bnw, self.num_heads, n, n)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)

@@ -253,39 +253,43 @@ def attention_reference_t(qt, kt, vt, neg_mask, scale=1.0):
     return jnp.einsum("bhqk,bhdk->bhdq", probs, vt)
 
 
-def _fwd_kernel_allheads_t(q_ref, k_ref, v_ref, m_ref, out_ref, *, heads: int,
-                           scale: float):
-    """One program per window, all heads unrolled (a per-(window, head) grid
-    is dispatch-bound at ~0.7 us/program, profiled). Operands arrive in the
+def _fwd_kernel_allheads_t(q_ref, k_ref, v_ref, m_ref, out_ref, *,
+                           windows: int, heads: int, scale: float):
+    """One program per (window group-chunk): WPB same-bias windows x hc heads
+    unrolled (a per-(window, head) grid is dispatch-bound at ~0.7 us/program,
+    profiled; batching windows also amortizes the per-program prologue and
+    keeps the MXU pipeline fed between tiny K=D dots). Operands arrive in the
     TRANSPOSED (D, N) feature-major layout that the qkv projection emits
     directly (models/swin.py TransposedDense): the logits dot contracts the
     sublane D axis of both operands — the MXU's native systolic form — and no
     HLO-level relayout of the (B,N,3HD) qkv tensor is ever needed (the
     token-major form costs ~12 ms/step in 32-lane-minor transpose copies at
     Swin res2, profiled). The 1/sqrt(d) q-scale is folded in."""
-    for hh in range(heads):
-        qt = q_ref[0, hh] * q_ref.dtype.type(scale)          # (D, Nq)
-        s = jax.lax.dot_general(qt, k_ref[0, hh], (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (Nq,Nk)
-        s = s + m_ref[0, hh].astype(jnp.float32)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        out_ref[0, hh] = jax.lax.dot_general(
-            v_ref[0, hh], p.astype(v_ref.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)  # (D,Nq)
+    for wi in range(windows):
+        for hh in range(heads):
+            qt = q_ref[wi, hh] * q_ref.dtype.type(scale)     # (D, Nq)
+            s = jax.lax.dot_general(qt, k_ref[wi, hh], (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + m_ref[0, hh].astype(jnp.float32)         # (Nq, Nk)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            out_ref[wi, hh] = jax.lax.dot_general(
+                v_ref[wi, hh], p.astype(v_ref.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _fused_periodic_fwd_pallas(qt, kt, vt, bias, scale, interpret: bool = False):
-    """Forward with a PERIODIC additive bias: bias (P, H, Nq, Nk) broadcasts
-    over the window-batch axis (Swin: the shift mask repeats per image, the
-    rel-pos bias is shared by all windows). Avoids materializing a
+    """Forward with a GROUPED additive bias: bias (P, H, Nq, Nk); the window
+    batch is P contiguous groups of G = B/P windows sharing one bias block
+    (Swin window-major order: the rel-pos bias is shared by all windows, the
+    shift mask by all images' same-position windows). Avoids materializing a
     (B, H, N, N) mask for thousands of windows. qt/kt/vt: (B, H, D, N).
 
-    The grid is (heads, period, B/period): the innermost grid dim walks
-    windows that SHARE a bias block, so Pallas's block-delta tracking skips
-    the bias DMA between consecutive programs — otherwise the (hc, N, K) f32
-    bias is re-fetched per window (~2.8 GB/step at Swin res2, profiled)."""
+    The grid is (heads, P, G/WPB) with WPB windows per program: the bias
+    block index is constant along the innermost dim, so Pallas's block-delta
+    tracking fetches each (hc, N, K) f32 bias once per group (re-fetching it
+    per window costs ~2.8 GB/step at Swin res2, profiled)."""
     import functools as ft
 
     from jax.experimental import pallas as pl
@@ -295,39 +299,42 @@ def _fused_periodic_fwd_pallas(qt, kt, vt, bias, scale, interpret: bool = False)
     nk = kt.shape[3]
     per = bias.shape[0]
     assert b % per == 0, (b, per)
+    g = b // per
     assert nq % 8 == 0 and nk % 8 == 0 and d % 8 == 0, (nq, nk, d)
     bp = bias.astype(jnp.float32)
 
-    # head chunk: as many heads per program as fit the ~16 MB VMEM budget
+    # (windows/program, heads/program) under the ~16 MB VMEM budget
     # (q + k + v + out bf16 lane-padded to 128-multiples, bias + scratch f32)
     lq, lk = -(-nq // _LANE) * _LANE, -(-nk // _LANE) * _LANE
-    per_head = (2 * d * lq * 2 + 2 * d * lk * 2 + 2 * lq * lk * 4)
+    per_hw = (2 * d * lq * 2 + 2 * d * lk * 2 + 2 * lq * lk * 4)
+    budget = 10 * 2**20
+    wpb = min(g, 8)
+    while wpb > 1 and (g % wpb or wpb * per_hw > budget):
+        wpb -= 1
     hc = h
-    while hc > 1 and hc * per_head > 10 * 2**20:
-        hc //= 2
-    while h % hc:
+    while hc > 1 and (h % hc or wpb * hc * per_hw > budget):
         hc -= 1
 
     return pl.pallas_call(
-        ft.partial(_fwd_kernel_allheads_t, heads=hc, scale=scale),
+        ft.partial(_fwd_kernel_allheads_t, windows=wpb, heads=hc, scale=scale),
         out_shape=jax.ShapeDtypeStruct((b, h, d, nq), qt.dtype),
-        grid=(h // hc, per, b // per),
+        grid=(h // hc, per, g // wpb),
         in_specs=[
-            pl.BlockSpec((1, hc, d, nq),
-                         lambda hi, pi, bj: (bj * per + pi, hi, 0, 0),
+            pl.BlockSpec((wpb, hc, d, nq),
+                         lambda hi, pi, bj: (pi * (g // wpb) + bj, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hc, d, nk),
-                         lambda hi, pi, bj: (bj * per + pi, hi, 0, 0),
+            pl.BlockSpec((wpb, hc, d, nk),
+                         lambda hi, pi, bj: (pi * (g // wpb) + bj, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hc, d, nk),
-                         lambda hi, pi, bj: (bj * per + pi, hi, 0, 0),
+            pl.BlockSpec((wpb, hc, d, nk),
+                         lambda hi, pi, bj: (pi * (g // wpb) + bj, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hc, nq, nk),
                          lambda hi, pi, bj: (pi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hc, d, nq),
-                               lambda hi, pi, bj: (bj * per + pi, hi, 0, 0),
+        out_specs=pl.BlockSpec((wpb, hc, d, nq),
+                               lambda hi, pi, bj: (pi * (g // wpb) + bj, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(qt, kt, vt, bp)
@@ -346,15 +353,16 @@ def _fused_periodic_fwd(qt, kt, vt, bias, scale):
 def _fused_periodic_bwd(scale, res, g):
     qt, kt, vt, bias = res
     b = qt.shape[0]
-    # expand the periodic bias; the XLA-composition VJP gives exact grads
-    # (incl. d/d bias, reduced back over the period by the broadcast transpose)
+    # expand the grouped bias (group-major: each bias block covers B/P
+    # contiguous windows); the XLA-composition VJP gives exact grads
+    # (incl. d/d bias, reduced back over the group by the broadcast transpose)
     reps = b // bias.shape[0]
-    full = jnp.tile(bias, (reps, 1, 1, 1))
+    full = jnp.repeat(bias, reps, axis=0)
     _, vjp = jax.vjp(
         lambda qq, kk, vv, bb: attention_reference_t(qq, kk, vv, bb, scale),
         qt, kt, vt, full)
     dqt, dkt, dvt, dfull = vjp(g)
-    dbias = dfull.reshape((reps,) + bias.shape).sum(0)
+    dbias = dfull.reshape((bias.shape[0], reps) + bias.shape[1:]).sum(1)
     return dqt, dkt, dvt, dbias
 
 
@@ -369,8 +377,9 @@ def fused_window_attention(
     scale: float = 1.0,
 ) -> jnp.ndarray:
     """Windowed attention in the TRANSPOSED domain: qt/kt/vt (B, H, D, N),
-    returns (B, H, D, N); periodic additive bias (P, H, N, N) with B % P == 0,
-    window-batch index bi uses bias[bi % P].
+    returns (B, H, D, N); GROUPED additive bias (P, H, N, N) with B % P == 0 —
+    the batch is P contiguous groups of B/P windows, window bi uses
+    bias[bi // (B/P)] (Swin window-major partition order).
 
     q is UNSCALED; the 1/sqrt(d) ``scale`` is folded into the kernel. The
     feature-major layout is what a transposed-output qkv projection emits
@@ -383,7 +392,7 @@ def fused_window_attention(
         if bias.shape[0] == 1:
             full = bias
         else:
-            full = jnp.tile(bias, (b // bias.shape[0], 1, 1, 1))
+            full = jnp.repeat(bias, b // bias.shape[0], axis=0)
         return attention_reference_t(qt, kt, vt, full, scale)
     nq = qt.shape[3]
     if nq % 8 or qt.shape[2] % 8:

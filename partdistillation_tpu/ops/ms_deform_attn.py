@@ -84,7 +84,12 @@ def ms_deform_attn(
       (B, Lq, M * D).
     """
     if mode is None:
-        mode = "onehot_mxu" if jax.default_backend() == "tpu" else "take"
+        import os
+
+        # PD_MSDA_MODE overrides the backend default (bench/profiling A/B)
+        mode = os.environ.get(
+            "PD_MSDA_MODE",
+            "onehot_mxu" if jax.default_backend() == "tpu" else "take")
     if mode == "onehot_mxu":
         return _ms_deform_attn_onehot(
             value, spatial_shapes, sampling_locations, attention_weights)

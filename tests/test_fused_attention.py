@@ -152,7 +152,8 @@ class TestFusedWindowAttention:
         q, k, v, bias = self._inputs()
         qt, kt, vt = (jnp.swapaxes(a, 2, 3) for a in (q, k, v))
         out = _fused_periodic_fwd_pallas(qt, kt, vt, bias, 0.5, interpret=True)
-        full = jnp.tile(bias, (q.shape[0] // bias.shape[0], 1, 1, 1))
+        # group-major: each bias block covers B/P contiguous windows
+        full = jnp.repeat(bias, q.shape[0] // bias.shape[0], axis=0)
         ref = attention_reference(q * 0.5, k, v, full)
         np.testing.assert_allclose(np.asarray(jnp.swapaxes(out, 2, 3)),
                                    np.asarray(ref), atol=1e-5, rtol=1e-5)
@@ -165,10 +166,10 @@ class TestFusedWindowAttention:
         qt, kt, vt = (jnp.swapaxes(a, 2, 3) for a in (q, k, v))
         g = jnp.ones((q.shape[0], 2, 4, 8), jnp.float32)  # (B,H,D,N) cotangent
         dqt, dkt, dvt, dbias = _fused_periodic_bwd(0.5, (qt, kt, vt, bias), g)
-        # finite-structure checks + bias-period reduction
+        # finite-structure checks + bias-group reduction
         assert dqt.shape == qt.shape and dbias.shape == bias.shape
         _, vjp = jax.vjp(lambda b_: attention_reference(
-            q * 0.5, k, v, jnp.tile(b_, (q.shape[0] // bias.shape[0], 1, 1, 1))), bias)
+            q * 0.5, k, v, jnp.repeat(b_, q.shape[0] // bias.shape[0], axis=0)), bias)
         (dbias_ref,) = vjp(jnp.swapaxes(g, 2, 3))
         np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
                                    atol=1e-5, rtol=1e-5)

@@ -272,10 +272,9 @@ def sample_level_folded(v_sd, x, y, attw, h: int, w: int):
     return _forward_folded(v_sd, x, y, attw, h, w)
 
 
-def _forward_folded(v_sd, x, y, attw, h, w):
+def _forward_folded(v_sd, x, y, attw, h, w, tq: int = _TQ):
     bm, p, n = x.shape
     d = v_sd.shape[-1]
-    tq = _TQ
     n_pad = -(-n // tq) * tq
     if n_pad != n:
         pad = ((0, 0), (0, 0), (0, n_pad - n))

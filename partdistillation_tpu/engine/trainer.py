@@ -101,6 +101,15 @@ class Trainer:
         self.state, metrics = self._step_fn(self.state, batch)
         return metrics
 
+    def compiled_hlo_text(self, batch) -> str:
+        """Compiled-module text of the train step for the given batch shapes
+        (profiler attribution: op metadata carries jax.named_scope paths).
+        donate_argnums is dropped so lowering does not invalidate state."""
+        import jax as _jax
+
+        step = self._step_fn.__wrapped__
+        return _jax.jit(step).lower(self.state, batch).compile().as_text()
+
     @property
     def step(self) -> int:
         return int(self.state.step)

@@ -96,6 +96,9 @@ def ms_deform_attn(
     if mode == "pallas_folded":
         return _ms_deform_attn_pallas_folded(
             value, spatial_shapes, sampling_locations, attention_weights)
+    if mode != "take":
+        raise ValueError(f"unknown ms_deform_attn mode {mode!r} "
+                         "(onehot_mxu | take | pallas_folded)")
     b, s, m, d = value.shape
     _, lq, _, num_levels, p, _ = sampling_locations.shape
     assert num_levels == len(spatial_shapes)

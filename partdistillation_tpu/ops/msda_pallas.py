@@ -283,8 +283,10 @@ def _forward_folded(v_sd, x, y, attw, h, w, tq: int = _TQ):
         y = jnp.pad(y, pad, constant_values=-2.0)
         attw = jnp.pad(attw, pad)
     # key tile = tyc full y-rows; pick the largest divisor of h with
-    # tyc*w <= 1024 lanes (8 tiles of 128)
-    tyc = max(t for t in range(1, h + 1) if h % t == 0 and t * w <= 1024)
+    # tyc*w <= 1024 lanes (8 tiles of 128); very wide levels (w > 1024)
+    # fall back to one row per tile (wider VMEM tiles, still valid)
+    fits = [t for t in range(1, h + 1) if h % t == 0 and t * w <= 1024]
+    tyc = max(fits) if fits else 1
 
     out = pl.pallas_call(
         functools.partial(_kernel_folded, h=h, w=w, p=p, tyc=tyc),

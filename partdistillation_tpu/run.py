@@ -230,8 +230,11 @@ def _eval_catalog(cfg, args):
                         num_obj_classes=len(class_names))
         return items
 
+    # pascal's part vocabulary / class counts come from parsing the .mat
+    # annotations, so its metadata.extra is POPULATED BY THE LOADER — call
+    # spec.items() before reading it (None values mark the unloaded state)
     cat.register("pascal", load_pascal, Metadata(
-        name="pascal", extra={"mapper_kwargs": {}, "n_gt_parts": 1,
+        name="pascal", extra={"mapper_kwargs": None, "n_gt_parts": None,
                               "num_obj_classes": None}))
 
     def load_cs():
@@ -1546,7 +1549,12 @@ def cmd_profile(args):
 
     out_dir = args.output or os.path.join(cfg.checkpoint_dir, "profile")
     trace_steps(step, out_dir, steps=args.steps)
-    summary = summarize_trace(out_dir, steps=args.steps)
+    try:
+        hlo = trainer.compiled_hlo_text(batch)  # named-scope attribution
+    except Exception as e:  # pragma: no cover - fall back to op-kind buckets
+        logger.warning("HLO attribution unavailable (%s)", e)
+        hlo = None
+    summary = summarize_trace(out_dir, steps=args.steps, hlo_text=hlo)
     top = dict(list(summary.items())[: args.top])
     for scope, ms in top.items():
         print(f"{ms:9.2f} ms/step  {scope}")

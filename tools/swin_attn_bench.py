@@ -29,8 +29,9 @@ for bnw, heads, nw in [(3136, 6, 196), (784, 12, 49), (256, 24, 16), (64, 48, 4)
     vt = jnp.asarray(rng.randn(bnw, heads, d, n).astype(np.float32), jnp.bfloat16)
     bias = jnp.asarray(rng.randn(nw, heads, n, n).astype(np.float32))
     scale = d ** -0.5
+    # grouped (window-major) bias semantics: bi // (B/P)
     full = lambda q_, k_, v_, b_: attention_reference_t(
-        q_, k_, v_, jnp.tile(b_, (bnw // nw, 1, 1, 1)), scale)
+        q_, k_, v_, jnp.repeat(b_, bnw // nw, axis=0), scale)
     ref = jax.jit(full)
     fus = jax.jit(lambda q_, k_, v_, b_: fused_window_attention(
         q_, k_, v_, b_, scale=scale))

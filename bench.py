@@ -101,7 +101,33 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
     return train_step, params, opt_state, batch
 
 
+def _backend_probe(timeout_s: int = 180) -> str:
+    """Probe backend liveness in a SUBPROCESS: a wedged axon tunnel makes
+    PJRT client creation hang indefinitely (observed 10+ h on 2026-08-18),
+    and a bench that hangs tells the driver nothing. Returns "" if live,
+    else a diagnostic string."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return f"backend init hung > {timeout_s}s (tunnel wedged?)"
+    if r.returncode != 0:
+        return (r.stderr or r.stdout).strip().splitlines()[-1][:300]
+    return ""
+
+
 def main():
+    err = _backend_probe()
+    if err:
+        print(json.dumps({
+            "metric": "stage3_proposal_train_images_per_sec_per_chip",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {err}"}))
+        sys.exit(1)
     # bs 16 fills the v5e better than the reference's 8/GPU (+12% measured);
     # halves on OOM below
     target_batch = 16

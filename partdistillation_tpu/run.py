@@ -1496,6 +1496,77 @@ def cmd_eval_pixel_grouping(args):
     print(json.dumps({"stage": "eval-pixel-grouping", **metrics}))
 
 
+# ---------------------------------------------------------------- doctor
+
+
+def cmd_doctor(args):
+    """Environment health check — the things that page you at 3am: backend
+    liveness (probed in a SUBPROCESS with a timeout, because a wedged TPU
+    tunnel makes PJRT client creation hang indefinitely), store paths,
+    compile cache, native library, and the library's own import surface."""
+    import subprocess
+    import sys as _sys
+
+    cfg = _setup(args)
+    report = {"stage": "doctor"}
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "print(d[0].platform, len(d))"],
+            capture_output=True, text=True, timeout=args.backend_timeout)
+        if r.returncode == 0:
+            platform, n = r.stdout.split()
+            report["backend"] = {"ok": True, "platform": platform,
+                                 "devices": int(n)}
+        else:
+            tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+            report["backend"] = {"ok": False, "error": (tail or ["?"])[0][:300]}
+    except subprocess.TimeoutExpired:
+        report["backend"] = {
+            "ok": False,
+            "error": f"init hung > {args.backend_timeout}s — tunnel/runtime "
+                     "wedged; retry later or restart the TPU runtime"}
+
+    import jax as _jax
+
+    report["jax"] = {"version": _jax.__version__}
+
+    root = cfg.paths.root
+    try:
+        os.makedirs(root, exist_ok=True)
+        probe = os.path.join(root, ".doctor_probe")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+        report["pseudo_label_root"] = {"ok": True, "path": root}
+    except OSError as e:
+        report["pseudo_label_root"] = {"ok": False, "path": root,
+                                       "error": str(e)[:200]}
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_tpu")
+    report["compile_cache"] = {"path": cache, "exists": os.path.isdir(cache),
+                               "entries": len(os.listdir(cache))
+                               if os.path.isdir(cache) else 0}
+
+    try:
+        from .utils.native_lib import native_available
+
+        report["native"] = {"ok": bool(native_available())}
+    except Exception as e:  # noqa: BLE001 - diagnostic surface
+        report["native"] = {"ok": False, "error": str(e)[:200]}
+
+    ok = all(v.get("ok", True) for v in report.values()
+             if isinstance(v, dict) and "ok" in v)
+    report["ok"] = ok
+    print(json.dumps(report, indent=2))
+    if not ok:
+        raise SystemExit(2)
+
+
 # ---------------------------------------------------------------- profile
 
 
@@ -1741,6 +1812,13 @@ def build_parser():
     _add_common(p)
     p.add_argument("--num-clusters", type=int, default=4)
     p.set_defaults(fn=cmd_eval_pixel_grouping)
+
+    p = sub.add_parser("doctor", help="environment health check (backend, "
+                                      "paths, cache, native lib)")
+    _add_common(p)
+    p.add_argument("--backend-timeout", type=int, default=120,
+                   help="seconds before declaring the backend wedged")
+    p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser("profile", help="trace N train steps, print breakdown")
     _add_common(p)

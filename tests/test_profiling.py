@@ -35,3 +35,19 @@ def test_trace_steps_and_summarize(tmp_path):
     d = trace_steps(step, str(tmp_path / "tr"), steps=2)
     summary = summarize_trace(d, steps=2)
     assert summary and sum(summary.values()) > 0
+
+
+def test_doctor_cli(tmp_path, capsys, monkeypatch):
+    """doctor: healthy CPU-backend environment -> ok=True, exit 0."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("PYTHONPATH", "")
+    cli.main(["doctor", "--backend-timeout", "120", "--set",
+              f"paths.root={tmp_path}/pseudo",
+              f"checkpoint_dir={tmp_path}/ckpt"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["ok"] is True
+    assert res["backend"]["ok"] is True
+    assert res["backend"]["platform"] == "cpu"
+    assert res["backend"]["devices"] >= 1
+    assert res["pseudo_label_root"]["ok"] is True

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["LabelingConfig", "select_class_matched_topk", "clip_text_classifier",
-           "clip_region_scorer", "make_proposal_detection_fn",
+           "clip_region_scorer", "clip_region_scorer_jax",
+           "clip_region_scorer_tpu", "make_proposal_detection_fn",
            "segmenter_detector", "precomputed_detector", "run_labeling"]
 
 
@@ -156,6 +157,89 @@ def clip_region_scorer(clip_model_path: str, class_names,
         return probs.argmax(-1).astype(np.int32), probs.max(-1).astype(np.float32)
 
     return scorer
+
+
+def clip_region_scorer_jax(vision_apply: Callable, text_emb: np.ndarray,
+                           crop_size: int = 224, capacity: int = 16) -> Callable:
+    """Pure-JAX region scorer over a jitted CLIP vision tower.
+
+    Args:
+      vision_apply: jittable ``fn(pixels (N, crop_size, crop_size, 3)
+        CLIP-normalized) -> (N, proj_dim)`` image embeddings
+        (models/clip_vit.CLIPVisionTower.apply closed over params).
+      text_emb: (num_classes, proj_dim) L2-normalized text embeddings
+        (clip_text_classifier / clip_text_classifier_from).
+      capacity: fixed mask batch per call (pad/chunk to keep one jit shape).
+
+    Returns ``scorer(image (H,W,3) uint8, masks (N,H,W) bool) ->
+    (class_ids (N,), probs (N,))`` — the same contract as the torch
+    ``clip_region_scorer``, but the per-region encode runs on TPU.
+    """
+    import jax
+
+    from ..clip_vit import normalize_clip_pixels
+    from ...data.transforms import resize_image
+
+    text = jnp.asarray(text_emb, jnp.float32)
+
+    @jax.jit
+    def score(pixels):
+        emb = vision_apply(pixels).astype(jnp.float32)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        sims = emb @ text.T
+        probs = jax.nn.softmax(100.0 * sims, axis=-1)
+        return jnp.argmax(probs, -1).astype(jnp.int32), jnp.max(probs, -1)
+
+    def scorer(image: np.ndarray, masks: np.ndarray):
+        crops = np.zeros((len(masks), crop_size, crop_size, 3), np.float32)
+        for i, m in enumerate(masks):
+            ys, xs = np.nonzero(m)
+            y0, y1 = ys.min(), ys.max() + 1
+            x0, x1 = xs.min(), xs.max() + 1
+            crops[i] = resize_image(image[y0:y1, x0:x1],
+                                    (crop_size, crop_size)) / 255.0
+        ids = np.zeros(len(masks), np.int32)
+        probs = np.zeros(len(masks), np.float32)
+        for s in range(0, len(masks), capacity):
+            chunk = crops[s : s + capacity]
+            pad = capacity - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+            ci, cp = score(normalize_clip_pixels(jnp.asarray(chunk)))
+            n = min(capacity, len(masks) - s)
+            ids[s : s + n] = np.asarray(ci)[:n]
+            probs[s : s + n] = np.asarray(cp)[:n]
+        return ids, probs
+
+    return scorer
+
+
+def clip_region_scorer_tpu(clip_model_path: str, class_names,
+                           template: str = "a {}",
+                           dtype=jnp.bfloat16) -> Callable:
+    """TPU-backed open-vocabulary region scorer: converts the HF CLIP
+    checkpoint's vision tower to flax (models/clip_vit) and jits it on the
+    default backend; text embeddings are computed once host-side. Same
+    ``scorer(image, masks)`` contract as the torch ``clip_region_scorer``."""
+    import torch
+    from transformers import CLIPModel, CLIPProcessor
+
+    from ..clip_vit import (CLIPVisionTower, config_from_hf,
+                            convert_clip_vision_state_dict)
+
+    model = CLIPModel.from_pretrained(clip_model_path).eval()
+    processor = CLIPProcessor.from_pretrained(clip_model_path)
+    text_emb = clip_text_classifier_from(model, processor, class_names, template)
+
+    cfg = dataclasses.replace(config_from_hf(model.config.vision_config),
+                              dtype=dtype)
+    params = convert_clip_vision_state_dict(model.state_dict(), cfg)
+    del model
+    tower = CLIPVisionTower(cfg)
+    return clip_region_scorer_jax(
+        lambda px: tower.apply(params, px), text_emb,
+        crop_size=cfg.image_size)
 
 
 def clip_text_classifier_from(model, processor, class_names,

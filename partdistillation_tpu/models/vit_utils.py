@@ -116,6 +116,7 @@ class PatchEmbed(nn.Module):
     patch_size: Tuple[int, int] = (16, 16)
     stride: Tuple[int, int] = (16, 16)
     padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True  # CLIP's patch conv is bias-free
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -124,4 +125,4 @@ class PatchEmbed(nn.Module):
         return nn.Conv(
             self.embed_dim, self.patch_size, strides=self.stride,
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
-            dtype=self.dtype, name="proj")(x)
+            use_bias=self.use_bias, dtype=self.dtype, name="proj")(x)

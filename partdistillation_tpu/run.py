@@ -379,12 +379,17 @@ def cmd_detect(args):
     scorer = None
     if args.clip_model:
         from .data.datasets.imagenet import global_code_to_id, read_class_names
+        from .models.meta_arch.labeling import clip_region_scorer_tpu
 
         code_to_id = global_code_to_id(cfg.data.imagenet_root, cfg.data.vocab_map or None)
         names = read_class_names(cfg.data.imagenet_root)
         vocab = [names.get(c, c) for c in sorted(code_to_id)]
-        scorer = clip_region_scorer(args.clip_model, vocab)
-        logger.info("CLIP region scorer over %d classes", len(vocab))
+        if args.clip_backend == "torch":
+            scorer = clip_region_scorer(args.clip_model, vocab)
+        else:  # device-side vision tower (models/clip_vit)
+            scorer = clip_region_scorer_tpu(args.clip_model, vocab)
+        logger.info("CLIP region scorer (%s) over %d classes",
+                    args.clip_backend, len(vocab))
 
     detection_fn = jax.jit(make_proposal_detection_fn(model_cfg))
     detector = segmenter_detector(detection_fn, params, size, scorer)
@@ -1720,6 +1725,9 @@ def build_parser():
     p.add_argument("--score-threshold", type=float, default=0.0)
     p.add_argument("--clip-model", default=None,
                    help="local CLIP checkpoint dir (transformers format)")
+    p.add_argument("--clip-backend", choices=("tpu", "torch"), default="tpu",
+                   help="region-embedding backend: jitted flax vision tower "
+                        "(models/clip_vit) or host-side torch")
     p.add_argument("--no-class-match", action="store_true")
     p.set_defaults(fn=cmd_detect)
 

@@ -25,7 +25,7 @@ module's params; parity vs transformers is tested in tests/test_clip_vit.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -68,10 +68,11 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class _Attention(nn.Module):
-    cfg: CLIPVisionTowerConfig
+    cfg: Any  # CLIPVisionTowerConfig | clip_text.CLIPTextTowerConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         c = self.cfg
         hd = c.hidden_size // c.num_heads
         q = nn.Dense(c.hidden_size, dtype=c.dtype, name="q_proj")(x)
@@ -81,24 +82,27 @@ class _Attention(nn.Module):
         q = q.reshape(b, n, c.num_heads, hd) * (hd ** -0.5)
         k = k.reshape(b, n, c.num_heads, hd)
         v = v.reshape(b, n, c.num_heads, hd)
-        # sequence is short (50 tokens at 224/32): plain einsum attention with
-        # f32 softmax; no flash/fused kernel needed at this size
+        # sequence is short (50 tokens at 224/32, <=77 for text): plain einsum
+        # attention with f32 softmax; no flash/fused kernel needed at this size
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
+        if bias is not None:
+            logits = logits + bias  # e.g. causal mask for the text tower
         probs = nn.softmax(logits, axis=-1).astype(c.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, -1)
         return nn.Dense(c.hidden_size, dtype=c.dtype, name="out_proj")(out)
 
 
 class _Block(nn.Module):
-    cfg: CLIPVisionTowerConfig
+    cfg: Any
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         c = self.cfg
         y = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
                          name="layer_norm1")(x)
-        x = x + _Attention(c, name="self_attn")(y)
+        x = x + _Attention(c, name="self_attn")(y, bias)
         y = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
                          name="layer_norm2")(x)
         y = nn.Dense(c.intermediate_size, dtype=c.dtype, name="fc1")(y)

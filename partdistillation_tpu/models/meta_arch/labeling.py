@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["LabelingConfig", "select_class_matched_topk", "clip_text_classifier",
+           "clip_text_classifier_device",
            "clip_region_scorer", "clip_region_scorer_jax",
            "clip_region_scorer_tpu", "make_proposal_detection_fn",
            "segmenter_detector", "precomputed_detector", "run_labeling"]
@@ -219,10 +220,10 @@ def clip_region_scorer_tpu(clip_model_path: str, class_names,
                            template: str = "a {}",
                            dtype=jnp.bfloat16) -> Callable:
     """TPU-backed open-vocabulary region scorer: converts the HF CLIP
-    checkpoint's vision tower to flax (models/clip_vit) and jits it on the
-    default backend; text embeddings are computed once host-side. Same
-    ``scorer(image, masks)`` contract as the torch ``clip_region_scorer``."""
-    import torch
+    checkpoint's vision AND text towers to flax (models/clip_vit,
+    models/clip_text) and jits both on the default backend — torch only reads
+    the checkpoint. Same ``scorer(image, masks)`` contract as the torch
+    ``clip_region_scorer``."""
     from transformers import CLIPModel, CLIPProcessor
 
     from ..clip_vit import (CLIPVisionTower, config_from_hf,
@@ -230,11 +231,16 @@ def clip_region_scorer_tpu(clip_model_path: str, class_names,
 
     model = CLIPModel.from_pretrained(clip_model_path).eval()
     processor = CLIPProcessor.from_pretrained(clip_model_path)
-    text_emb = clip_text_classifier_from(model, processor, class_names, template)
+    text_emb = clip_text_classifier_device(model, processor, class_names,
+                                           template)
 
-    cfg = dataclasses.replace(config_from_hf(model.config.vision_config),
-                              dtype=dtype)
-    params = convert_clip_vision_state_dict(model.state_dict(), cfg)
+    sd = model.state_dict()
+    cfg = dataclasses.replace(
+        config_from_hf(model.config.vision_config), dtype=dtype,
+        # on a full CLIPModel the projection width is the TOP-level config's
+        # projection_dim, not vision_config's — read it off the actual weight
+        projection_dim=sd["visual_projection.weight"].shape[0])
+    params = convert_clip_vision_state_dict(sd, cfg)
     del model
     tower = CLIPVisionTower(cfg)
     return clip_region_scorer_jax(
@@ -252,6 +258,52 @@ def clip_text_classifier_from(model, processor, class_names,
         emb = model.get_text_features(**inputs)
         emb = emb / emb.norm(dim=-1, keepdim=True)
     return emb.numpy()
+
+
+def clip_text_classifier_device(model, processor, class_names,
+                                template: str = "a {}",
+                                batch: int = 256) -> np.ndarray:
+    """(C, D) L2-normalized CLIP text embeddings computed by the jitted flax
+    text tower (models/clip_text) on the default backend — torch touches only
+    the checkpoint weights. Same contract as ``clip_text_classifier_from``;
+    at ImageNet-22K scale (22k prompts) the encode is a device batch job
+    instead of a host loop (reference analog: the per-shard classifier-head
+    rebuild, detic_labeling_net.py:50-68)."""
+    import jax
+
+    from ..clip_text import (CLIPTextTower, convert_clip_text_state_dict,
+                             text_config_from_hf)
+
+    sd = model.state_dict()
+    cfg = dataclasses.replace(
+        text_config_from_hf(model.config.text_config),
+        # on a full CLIPModel the projection width is the TOP-level config's
+        # projection_dim, not text_config's — read it off the actual weight
+        projection_dim=sd["text_projection.weight"].shape[0])
+    params = convert_clip_text_state_dict(sd, cfg)
+    tower = CLIPTextTower(cfg)
+
+    prompts = [template.format(str(n).replace("_", " ")) for n in class_names]
+    ids = processor(text=prompts, return_tensors="np",
+                    padding="max_length",
+                    max_length=cfg.max_positions)["input_ids"].astype(np.int32)
+
+    @jax.jit
+    def embed(tok):
+        # setup-time op (once per vocabulary): full f32 matmul passes — the
+        # TPU default (bf16 passes) costs ~6e-3 abs error vs the torch oracle
+        with jax.default_matmul_precision("float32"):
+            emb = tower.apply(params, tok).astype(jnp.float32)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    out = np.zeros((len(ids), cfg.projection_dim), np.float32)
+    for s in range(0, len(ids), batch):
+        chunk = ids[s : s + batch]
+        pad = batch - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.tile(chunk[-1:], (pad, 1))])
+        out[s : s + batch] = np.asarray(embed(chunk))[: batch - pad or None]
+    return out
 
 
 def segmenter_detector(detection_fn, params, image_size: int,

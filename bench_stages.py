@@ -181,14 +181,18 @@ def bench_stage5(batch_size: int = 8, image_size: int = 640,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # fresh key per step: identical keys would repeat the dropout/point-
+    # sampling noise and make the reported loss stream unrepresentative
     key = jax.random.PRNGKey(1)
     params, opt_state, loss = train_step(params, opt_state, batch, key)
     _sync(loss)
-    params, opt_state, loss = train_step(params, opt_state, batch, key)
+    params, opt_state, loss = train_step(params, opt_state, batch,
+                                         jax.random.fold_in(key, 1))
     _sync(loss)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = train_step(params, opt_state, batch, key)
+    for i in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, batch,
+                                             jax.random.fold_in(key, 2 + i))
     _sync(loss)
     ips = batch_size * iters / (time.perf_counter() - t0)
     print(json.dumps({

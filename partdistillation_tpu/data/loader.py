@@ -75,6 +75,7 @@ def batch_iterator(
     """
     if not items:
         return
+    num_workers = max(num_workers, 1)  # 0 = synchronous-ish: one worker thread
     epoch = 0
     # pending carries across epochs: with fewer usable items than batch_size
     # (fewshot subsets, heavy mapper filtering) a batch still fills after
@@ -131,6 +132,7 @@ class DataLoader:
                                     epochs, num_workers, drop_last)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._done = object()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
@@ -138,6 +140,8 @@ class DataLoader:
         try:
             for batch in self._iter:
                 self._q.put(batch)
+        except BaseException as e:  # surface in the consumer, don't die silent
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -145,5 +149,7 @@ class DataLoader:
         while True:
             batch = self._q.get()
             if batch is self._done:
+                if self._error is not None:
+                    raise RuntimeError("DataLoader worker failed") from self._error
                 return
             yield batch

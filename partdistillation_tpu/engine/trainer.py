@@ -24,6 +24,7 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..parallel.mesh import tree_shardings
 from .optim import OptimizerConfig, build_optimizer
 
 __all__ = ["TrainState", "Trainer"]
@@ -48,6 +49,11 @@ class Trainer:
     mesh: Optional[Mesh] = None
     checkpoint_dir: Optional[str] = None
     seed: int = 0
+    # (path_str, leaf) -> PartitionSpec over ``mesh`` for every TrainState
+    # leaf (params AND optimizer state — Adam moments mirror the param paths).
+    # None = fully replicated. See parallel.mesh.giant_head_rule for the
+    # stage-5 model-axis sharding of the 176k-way part classifier.
+    sharding_rules: Optional[Callable] = None
 
     def __post_init__(self):
         self.tx = build_optimizer(self.optimizer_cfg, self.init_params)
@@ -57,6 +63,11 @@ class Trainer:
             opt_state=self.tx.init(self.init_params),
             rng=jax.random.PRNGKey(self.seed),
         )
+        self._state_shardings = None
+        if self.mesh is not None:
+            self._state_shardings = tree_shardings(
+                self.mesh, self.state, self.sharding_rules)
+            self.state = jax.device_put(self.state, self._state_shardings)
         self._step_fn = self._build_step()
         self._ckpt = None
         if self.checkpoint_dir:
@@ -91,8 +102,8 @@ class Trainer:
             repl = NamedSharding(self.mesh, P())
             return jax.jit(
                 step,
-                in_shardings=(repl, batch_sh),
-                out_shardings=(repl, repl),
+                in_shardings=(self._state_shardings, batch_sh),
+                out_shardings=(self._state_shardings, repl),
                 donate_argnums=(0,),
             )
         return jax.jit(step, donate_argnums=(0,))

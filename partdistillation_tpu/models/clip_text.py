@@ -10,9 +10,10 @@ only to read the HF checkpoint file.
 Architecture (matches HF ``CLIPTextModelWithProjection`` exactly): token
 embedding + learned absolute positions → L × pre-LN transformer blocks with a
 CAUSAL attention mask (shared ``_Block`` from clip_vit, quick_gelu MLP) →
-final LayerNorm → pool the End-Of-Text token's hidden state (the position of
-the *largest* token id — the OpenAI convention; EOT is the top vocabulary id)
-→ linear projection (no bias).
+final LayerNorm → pool the End-Of-Text token's hidden state (the first
+position holding ``eos_token_id`` — HF semantics, equivalent to the OpenAI
+argmax-of-ids convention on CLIP's own vocabulary) → linear projection
+(no bias).
 
 Padding needs no mask here: CLIP pads AFTER the EOT token, and under the
 causal mask the EOT position never attends to later (padded) positions, so
@@ -53,6 +54,10 @@ class CLIPTextTowerConfig:
     intermediate_size: int = 2048
     projection_dim: int = 512
     layer_norm_eps: float = 1e-5
+    # EOT pooling position: first token equal to this id (HF semantics). CLIP's
+    # EOT is the top vocabulary id, but tokenizers whose EOS is not the vocab
+    # max would silently pool the wrong position under plain argmax(token_ids).
+    eos_token_id: int = 49407
     dtype: Any = jnp.float32
 
 
@@ -60,9 +65,9 @@ class CLIPTextTower(nn.Module):
     """(B, T) int32 token ids -> (B, projection_dim) text embeddings
     (L2-unnormalized; callers normalize before the cosine-similarity matmul).
 
-    T may be any length <= max_positions. Pooling follows the OpenAI CLIP
-    convention: the hidden state at ``argmax(token_ids)`` — the EOT token
-    holds the top vocabulary id, and every prompt contains exactly one."""
+    T may be any length <= max_positions. Pooling takes the hidden state at
+    the FIRST position equal to ``cfg.eos_token_id`` (HF semantics; every
+    prompt contains exactly one EOT followed only by padding)."""
 
     cfg: CLIPTextTowerConfig
 
@@ -87,7 +92,11 @@ class CLIPTextTower(nn.Module):
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
                          name="final_layer_norm")(x)
 
-        eot = jnp.argmax(token_ids, axis=-1)  # (B,)
+        # first position holding eos_token_id (argmax of the equality mask
+        # returns the first True) — matches HF CLIPTextModel pooling for any
+        # vocabulary, not just ones where EOT is the top id
+        eot = jnp.argmax((token_ids == c.eos_token_id).astype(jnp.int32),
+                         axis=-1)  # (B,)
         pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
         return nn.Dense(c.projection_dim, use_bias=False, dtype=c.dtype,
                         name="text_projection")(pooled)
@@ -143,4 +152,5 @@ def text_config_from_hf(hf_cfg) -> CLIPTextTowerConfig:
         intermediate_size=hf_cfg.intermediate_size,
         projection_dim=hf_cfg.projection_dim,
         layer_norm_eps=hf_cfg.layer_norm_eps,
+        eos_token_id=hf_cfg.eos_token_id,
     )

@@ -284,8 +284,10 @@ def clip_text_classifier_device(model, processor, class_names,
     tower = CLIPTextTower(cfg)
 
     prompts = [template.format(str(n).replace("_", " ")) for n in class_names]
+    # truncation=True: multi-word 22K synset prompts can exceed max_positions;
+    # clip to the window like the OpenAI tokenizer (EOT stays the last token)
     ids = processor(text=prompts, return_tensors="np",
-                    padding="max_length",
+                    padding="max_length", truncation=True,
                     max_length=cfg.max_positions)["input_ids"].astype(np.int32)
 
     @jax.jit

@@ -21,7 +21,14 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "giant_head_rule",
+    "tree_shardings",
+]
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
@@ -49,3 +56,33 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host-global batch pytree with leading batch dim on the mesh."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def giant_head_rule(path: str, leaf) -> P:
+    """Sharding rule for the stage-5 giant part classifier: shard the
+    (hidden, num_obj*num_parts+1) kernel's HIDDEN dim over the `model` axis
+    (pad-free — the odd column count never divides evenly), replicate
+    everything else. Path-keyed, so the Adam moments that mirror the param
+    tree inside the optimizer state inherit the same spec automatically.
+
+    Reference analog: the one genuinely huge matmul in the system, the
+    Linear(hidden, 22000*8+1) head of
+    part_distillation_transformer_decoder.py:107."""
+    if "part_class_kernel" in path and getattr(leaf, "ndim", 0) >= 2:
+        return P("model", None)
+    return P()
+
+
+def tree_shardings(mesh: Mesh, tree, rule=None):
+    """NamedSharding pytree for ``tree`` under a (path_str, leaf) -> spec rule
+    (replicated where rule is None). The single source of truth for how
+    params AND optimizer state land on the mesh — used by both
+    engine.trainer.Trainer and the driver's multichip dryrun."""
+    def f(path, leaf):
+        path_s = "/".join(
+            str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k))))
+            for k in path)
+        spec = rule(path_s, leaf) if rule is not None else P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(f, tree)

@@ -103,7 +103,9 @@ def _imagenet_items(cfg, args, object_store: Optional[str] = None):
 
 
 def _restore_params(path: Optional[str], init_fn, trainer_dir: Optional[str] = None,
-                    torch_path: Optional[str] = None):
+                    torch_path: Optional[str] = None,
+                    require_weights: bool = False,
+                    allow_random: bool = False):
     """Model params for eval/inference CLIs.
 
     ``path``: a bare Orbax params checkpoint (StandardCheckpointer layout).
@@ -115,12 +117,25 @@ def _restore_params(path: Optional[str], init_fn, trainer_dir: Optional[str] = N
     ``torch_path``: a torch/detectron2 Mask2Former checkpoint (.pth/.pkl) —
     converted through utils/convert_weights onto the initialized structure
     (weights/README.md initial-weights contract).
+
+    ``require_weights``: eval/inference CLIs must not silently run with
+    freshly-initialized weights (the reference forces an explicit
+    MODEL.WEIGHTS); pass ``allow_random`` (--allow-random-init) to override
+    for smoke tests, with a loud warning.
     """
-    params = init_fn()
     sources = [s for s in (path, trainer_dir, torch_path) if s]
     if len(sources) > 1:
         raise SystemExit("--params, --trainer-checkpoint and --torch-params "
                          "are mutually exclusive")
+    if require_weights and not sources:
+        if not allow_random:
+            raise SystemExit(
+                "this command evaluates/infers with model weights but none were "
+                "given — pass --params, --trainer-checkpoint or --torch-params "
+                "(or --allow-random-init to knowingly run with random weights)")
+        logger.warning("RUNNING WITH RANDOM WEIGHTS (--allow-random-init): "
+                       "all outputs/metrics below are meaningless for quality")
+    params = init_fn()
     if torch_path:
         from .utils.convert_weights import (convert_mask2former_state_dict,
                                             load_torch_checkpoint)
@@ -163,7 +178,7 @@ def _save_params(path: str, params):
 
 def _fit_mesh(batch_size: int, n_model: int = 1):
     """Data-axis size = gcd(devices/n_model, per-host batch) so the batch
-    shards evenly; leftover devices idle rather than erroring."""
+    shards evenly; leftover devices idle rather than erroring (loudly)."""
     import math
 
     import jax
@@ -172,6 +187,14 @@ def _fit_mesh(batch_size: int, n_model: int = 1):
 
     n_avail = max(len(jax.devices()) // max(n_model, 1), 1)
     n_data = math.gcd(n_avail, batch_size) or 1
+    used = n_data * max(n_model, 1)
+    if used < len(jax.devices()):
+        logger.warning(
+            "mesh uses %d of %d devices (data=%d x model=%d): batch_size=%d "
+            "does not divide the device count — %d device(s) IDLE; pick a "
+            "batch size divisible by %d to use the full chip count",
+            used, len(jax.devices()), n_data, max(n_model, 1), batch_size,
+            len(jax.devices()) - used, n_avail)
     return make_mesh(n_data=n_data, n_model=n_model)
 
 
@@ -374,7 +397,8 @@ def cmd_detect(args):
         lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
                                     normalize_images(jnp.zeros((1, size, size, 3)))),
         trainer_dir=args.trainer_checkpoint,
-        torch_path=getattr(args, "torch_params", None))
+        torch_path=getattr(args, "torch_params", None),
+        require_weights=True, allow_random=args.allow_random_init)
 
     scorer = None
     if args.clip_model:
@@ -436,7 +460,8 @@ def cmd_propose(args):
         lambda: jax.jit(backbone.init)(
             jax.random.PRNGKey(cfg.seed),
             normalize_images(jnp.zeros((1, size, size, 3)))),
-        torch_path=getattr(args, "torch_params", None))
+        torch_path=getattr(args, "torch_params", None),
+        require_weights=True, allow_random=args.allow_random_init)
 
     mapper = ProposalGenerationMapper(image_size=size)
     n_saved, n_batches, t0 = 0, 0, time.perf_counter()
@@ -745,6 +770,8 @@ def cmd_train_distillation(args):
             gt_object_class=jnp.zeros((1,), jnp.int32)),
         torch_path=getattr(args, "torch_params", None))
 
+    from .parallel.mesh import giant_head_rule
+
     mesh = _fit_mesh(cfg.data.batch_size, n_model=cfg.n_model_shards)
     trainer = Trainer(
         loss_fn=make_loss_fn(model_cfg),
@@ -752,7 +779,10 @@ def cmd_train_distillation(args):
         optimizer_cfg=OptimizerConfig(max_iter=cfg.max_iters),
         mesh=mesh,
         checkpoint_dir=os.path.join(cfg.checkpoint_dir, "part_distillation"),
-        seed=cfg.seed)
+        seed=cfg.seed,
+        # n_model_shards > 1 shards the giant head's kernel AND its Adam
+        # moments over the model axis (size-1 axis = replicated, no-op)
+        sharding_rules=giant_head_rule)
     trainer.resume_or_load()
 
     mapper = PartDistillationTrainMapper(image_size=size,
@@ -842,7 +872,8 @@ def cmd_eval_proposal(args):
         lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
                                     normalize_images(jnp.zeros((1, size, size, 3)))),
         trainer_dir=args.trainer_checkpoint,
-        torch_path=getattr(args, "torch_params", None))
+        torch_path=getattr(args, "torch_params", None),
+        require_weights=True, allow_random=args.allow_random_init)
     metrics = _proposal_ar_eval(cfg, args, model_cfg, params, ds)
     from .engine.metrics import print_csv_format
 
@@ -931,7 +962,8 @@ def cmd_rank(args):
         lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
                                     normalize_images(jnp.zeros((1, size, size, 3)))),
         trainer_dir=args.trainer_checkpoint,
-        torch_path=getattr(args, "torch_params", None))
+        torch_path=getattr(args, "torch_params", None),
+        require_weights=True, allow_random=args.allow_random_init)
     suffix = f"_{eval_dataset}" if on_eval_set else ""
     centroid_path = os.path.join(cfg.checkpoint_dir, f"rank_centroids{suffix}.npz")
 
@@ -1121,7 +1153,8 @@ def _distill_setup(cfg, args):
             normalize_images(jnp.zeros((1, size, size, 3))),
             gt_object_class=jnp.zeros((1,), jnp.int32)),
         trainer_dir=args.trainer_checkpoint,
-        torch_path=getattr(args, "torch_params", None))
+        torch_path=getattr(args, "torch_params", None),
+        require_weights=True, allow_random=args.allow_random_init)
     return model_cfg, params
 
 
@@ -1279,7 +1312,7 @@ def cmd_distill_eval(args):
 # ---------------------------------------------------------------- ablation
 
 
-def _supervised_setup(cfg, args):
+def _supervised_setup(cfg, args, require_weights: bool = False):
     """Shared by train/eval-supervised: items + model cfg + params.
 
     ``--eval-dataset`` selects the GT part dataset (the reference trains and
@@ -1347,7 +1380,9 @@ def _supervised_setup(cfg, args):
         lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
                                     normalize_images(jnp.zeros((1, size, size, 3)))),
         trainer_dir=getattr(args, "trainer_checkpoint", None),
-        torch_path=getattr(args, "torch_params", None))
+        torch_path=getattr(args, "torch_params", None),
+        require_weights=require_weights,
+        allow_random=getattr(args, "allow_random_init", False))
     return items, model_cfg, params, ds
 
 
@@ -1434,7 +1469,8 @@ def cmd_train_supervised(args):
 
 def cmd_eval_supervised(args):
     cfg = _setup(args)
-    items, model_cfg, params, ds = _supervised_setup(cfg, args)
+    items, model_cfg, params, ds = _supervised_setup(cfg, args,
+                                                     require_weights=True)
     metrics = _supervised_eval(cfg, args, model_cfg, params, ds, items=items)
     from .engine.metrics import print_csv_format
 
@@ -1475,7 +1511,8 @@ def cmd_eval_pixel_grouping(args):
         lambda: jax.jit(backbone.init)(
             jax.random.PRNGKey(cfg.seed),
             normalize_images(jnp.zeros((1, size, size, 3)))),
-        torch_path=getattr(args, "torch_params", None))
+        torch_path=getattr(args, "torch_params", None),
+        require_weights=True, allow_random=args.allow_random_init)
 
     mapper = PartEvalMapper(image_size=size, capacity=16,
                             merge_parts_by_class=False)
@@ -1691,6 +1728,9 @@ def _add_common(p):
     p.add_argument("--torch-params", default=None,
                    help="torch/detectron2 Mask2Former checkpoint (.pth/.pkl), "
                         "converted via utils/convert_weights")
+    p.add_argument("--allow-random-init", action="store_true",
+                   help="let eval/inference commands run with freshly-"
+                        "initialized weights (smoke tests only)")
 
 
 def _add_eval_dataset(p):

@@ -12,6 +12,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast gate (-m 'not slow')
+
 from partdistillation_tpu import run as cli
 from partdistillation_tpu.data.pseudo_store import PseudoLabelStore, ShardWriter
 from partdistillation_tpu.utils import rle as rle_codec
@@ -129,7 +131,7 @@ def test_stage1_label(pipeline_env, capsys):
 
 def test_stage2_propose(pipeline_env, capsys):
     ov = pipeline_env["overrides"]
-    res = _run(["propose", "--tiny", "--set", *ov], capsys)
+    res = _run(["propose", "--tiny", "--allow-random-init", "--set", *ov], capsys)
     assert res["saved"] == 8
     store = PseudoLabelStore(str(pipeline_env["tmp"] / "pseudo_labels/proposal_generation"))
     rec = store.get("n01440764_0")
@@ -165,7 +167,8 @@ def test_stage3_train_proposal(pipeline_env, capsys):
 def test_stage4_rank_cluster_save(pipeline_env, capsys):
     ov = pipeline_env["overrides"]
     res = _run(["rank", "--tiny", "--num-queries", "8", "--num-clusters", "3",
-                "--phases", "cluster,save", "--set", *ov], capsys)
+                "--phases", "cluster,save", "--allow-random-init",
+                "--set", *ov], capsys)
     assert res["phases"] == ["cluster", "save"]
     cents = np.load(str(pipeline_env["tmp"] / "ckpt/rank_centroids.npz"))["centroids"]
     assert cents.shape == (2, 3, 32)  # (object classes, k, hidden)
@@ -195,7 +198,7 @@ def test_stage4_rank_match_eval(pipeline_env, capsys):
     ov = pipeline_env["overrides"]
     res = _run(["rank", "--tiny", "--num-queries", "8", "--num-clusters", "3",
                 "--phases", "match,eval", "--num-gt-parts", "3",
-                "--set", *ov], capsys, stage="rank-eval")
+                "--allow-random-init", "--set", *ov], capsys, stage="rank-eval")
     assert res["stage"] == "rank-eval"
     assert np.isfinite(res["C-mIoU"])
     mapping = np.load(str(pipeline_env["tmp"] / "ckpt/rank_mapping.npz"))["mapping"]
@@ -235,7 +238,8 @@ def test_stage5_distill_eval(pipeline_env, capsys):
     ov = pipeline_env["overrides"]
     res = _run(["distill-eval", "--tiny", "--num-queries", "8",
                 "--num-parts", "3", "--num-object-classes", "4", "--topk", "8",
-                "--num-gt-parts", "3", "--set", *ov], capsys)
+                "--num-gt-parts", "3", "--allow-random-init",
+                "--set", *ov], capsys)
     assert res["stage"] == "distill-eval"
     assert np.isfinite(res["C-mIoU"])
     mapping = np.load(str(pipeline_env["tmp"] / "ckpt/distill_mapping.npz"))["mapping"]
@@ -277,7 +281,8 @@ def test_stage1_detect_from_pixels(pipeline_env, capsys):
     ov = [o if not o.startswith("paths.root=") else
           f"paths.root={tmp}/pseudo_labels_detect" for o in pipeline_env["overrides"]]
     res = _run(["detect", "--tiny", "--num-queries", "8", "--proposals", "8",
-                "--topk", "5", "--no-class-match", "--set", *ov], capsys)
+                "--topk", "5", "--no-class-match", "--allow-random-init",
+                "--set", *ov], capsys)
     assert res["stage"] == "detect"
     assert res["saved"] == 8
     store = PseudoLabelStore(str(tmp / "pseudo_labels_detect/object_labels"))

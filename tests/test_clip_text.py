@@ -80,7 +80,8 @@ class _StubProcessor:
     def __init__(self, max_len=16):
         self.max_len = max_len
 
-    def __call__(self, text, return_tensors, padding, max_length=None):
+    def __call__(self, text, return_tensors, padding, max_length=None,
+                 truncation=False):
         n = max_length or self.max_len
         ids = np.zeros((len(text), n), np.int64)
         for i, prompt in enumerate(text):

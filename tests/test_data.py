@@ -329,3 +329,26 @@ def test_batch_iterator_bounded_window_preserves_order_and_epoch():
     assert set(seen_epochs) == {0, 1}
     # partial final batch padded by repetition, marked invalid
     assert batches[-1]["batch_valid"].sum() == len(vals) % 4 or batches[-1]["batch_valid"].all()
+
+
+def test_dataloader_surfaces_worker_errors():
+    """A crash in the prefetch thread must raise in the consumer, not end the
+    stream silently (the r3 'steps: 0' bug: num_workers=0 killed the thread)."""
+    from partdistillation_tpu.data.loader import DataLoader
+
+    def bad_mapper(item):
+        raise KeyError("boom")
+
+    loader = DataLoader([{"image_id": "a"}], bad_mapper, batch_size=1)
+    with pytest.raises(RuntimeError, match="DataLoader worker failed"):
+        list(loader)
+
+
+def test_dataloader_num_workers_zero_still_loads():
+    from partdistillation_tpu.data.loader import DataLoader
+
+    items = [{"v": k} for k in range(4)]
+    loader = DataLoader(items, lambda it: {"x": np.asarray([it["v"]])},
+                        batch_size=2, num_workers=0)
+    batches = list(loader)
+    assert len(batches) == 2

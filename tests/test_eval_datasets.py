@@ -114,7 +114,8 @@ def cityscapes_env(tmp_path_factory):
 
 def test_pascal_eval_supervised(pascal_env, capsys):
     cli.main(["eval-supervised", "--tiny", "--num-queries", "8",
-              "--eval-dataset", "pascal", "--set", *pascal_env["overrides"]])
+              "--eval-dataset", "pascal", "--allow-random-init",
+              "--set", *pascal_env["overrides"]])
     res = _json_lines(capsys)
     assert res["dataset"] == "pascal"
     assert np.isfinite(res["C-mIoU"])
@@ -122,7 +123,8 @@ def test_pascal_eval_supervised(pascal_env, capsys):
 
 def test_pascal_eval_proposal(pascal_env, capsys):
     cli.main(["eval-proposal", "--tiny", "--num-queries", "8", "--topk", "8",
-              "--eval-dataset", "pascal", "--set", *pascal_env["overrides"]])
+              "--eval-dataset", "pascal", "--allow-random-init",
+              "--set", *pascal_env["overrides"]])
     res = _json_lines(capsys)
     assert res["dataset"] == "pascal"
     # 4 images x 3 part instances each
@@ -135,7 +137,7 @@ def test_pascal_rank_full_modal(pascal_env, capsys):
     reference's per-dataset modal pipeline)."""
     cli.main(["rank", "--tiny", "--num-queries", "8", "--num-clusters", "2",
               "--phases", "cluster,match,eval", "--eval-dataset", "pascal",
-              "--set", *pascal_env["overrides"]])
+              "--allow-random-init", "--set", *pascal_env["overrides"]])
     res = _json_lines(capsys, stage="rank-eval")
     assert np.isfinite(res["C-mIoU"])
     cents = np.load(str(pascal_env["tmp"] / "ckpt/rank_centroids_pascal.npz"))["centroids"]
@@ -149,7 +151,8 @@ def test_pascal_rank_full_modal(pascal_env, capsys):
 def test_pascal_rank_save_rejected(pascal_env, capsys):
     with pytest.raises(SystemExit):
         cli.main(["rank", "--tiny", "--phases", "save",
-                  "--eval-dataset", "pascal", "--set", *pascal_env["overrides"]])
+                  "--eval-dataset", "pascal", "--allow-random-init",
+                  "--set", *pascal_env["overrides"]])
 
 
 def test_pascal_train_with_periodic_eval(pascal_env, capsys):
@@ -171,7 +174,7 @@ def test_pascal_train_with_periodic_eval(pascal_env, capsys):
 
 def test_cityscapes_eval_supervised(cityscapes_env, capsys):
     cli.main(["eval-supervised", "--tiny", "--num-queries", "8",
-              "--eval-dataset", "cityscapes",
+              "--eval-dataset", "cityscapes", "--allow-random-init",
               "--set", *cityscapes_env["overrides"]])
     res = _json_lines(capsys)
     assert res["dataset"] == "cityscapes"

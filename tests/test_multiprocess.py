@@ -12,6 +12,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast gate (-m 'not slow')
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

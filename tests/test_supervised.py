@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast gate (-m 'not slow')
+
 from partdistillation_tpu import run as cli
 from partdistillation_tpu.losses.criterion import CriterionConfig
 from partdistillation_tpu.losses.matcher import MatcherConfig
@@ -118,8 +120,11 @@ def test_supervised_cli_train_eval(tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["steps"] >= 2
 
+    # eval the just-trained weights (the guard rejects weightless eval)
     cli.main(["eval-supervised", "--tiny", "--num-queries", "8",
-              "--num-part-classes", "3", "--set", *ov])
+              "--num-part-classes", "3",
+              "--trainer-checkpoint", f"{tmp_path}/ckpt/supervised",
+              "--set", *ov])
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "C-mIoU" in res and np.isfinite(res["C-mIoU"])
 

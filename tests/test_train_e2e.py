@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast gate (-m 'not slow')
+
 from partdistillation_tpu.engine.optim import OptimizerConfig, build_optimizer, build_schedule
 from partdistillation_tpu.engine.trainer import Trainer
 from partdistillation_tpu.losses.criterion import CriterionConfig

@@ -67,8 +67,8 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, src, pos=None, key_padding_mask=None):
         cfg = self.cfg
         block = _padding_block_mask(key_padding_mask)
-        norm1 = nn.LayerNorm(dtype=cfg.dtype, name="norm1")
-        norm2 = nn.LayerNorm(dtype=cfg.dtype, name="norm2")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm2")
         attn = MultiHeadAttention(cfg.d_model, cfg.num_heads, dtype=cfg.dtype, name="self_attn")
         ffn = _FFN(cfg, name="ffn")
 
@@ -95,9 +95,9 @@ class TransformerDecoderLayer(nn.Module):
     def __call__(self, tgt, memory, query_pos=None, pos=None, memory_key_padding_mask=None):
         cfg = self.cfg
         block = _padding_block_mask(memory_key_padding_mask)
-        norm1 = nn.LayerNorm(dtype=cfg.dtype, name="norm1")
-        norm2 = nn.LayerNorm(dtype=cfg.dtype, name="norm2")
-        norm3 = nn.LayerNorm(dtype=cfg.dtype, name="norm3")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm2")
+        norm3 = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm3")
         self_attn = MultiHeadAttention(cfg.d_model, cfg.num_heads, dtype=cfg.dtype,
                                        name="self_attn")
         cross_attn = MultiHeadAttention(cfg.d_model, cfg.num_heads, dtype=cfg.dtype,
@@ -132,7 +132,7 @@ class TransformerEncoder(nn.Module):
             src = TransformerEncoderLayer(self.cfg, name=f"layer{i}")(
                 src, pos=pos, key_padding_mask=key_padding_mask)
         if self.cfg.pre_norm and self.cfg.num_encoder_layers > 0:
-            src = nn.LayerNorm(dtype=self.cfg.dtype, name="norm")(src)
+            src = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.dtype, name="norm")(src)
         return src
 
 
@@ -145,7 +145,7 @@ class TransformerDecoder(nn.Module):
     @nn.compact
     def __call__(self, tgt, memory, query_pos=None, pos=None, memory_key_padding_mask=None):
         cfg = self.cfg
-        norm = nn.LayerNorm(dtype=cfg.dtype, name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm")
         intermediates = []
         for i in range(cfg.num_decoder_layers):
             tgt = TransformerDecoderLayer(cfg, name=f"layer{i}")(

@@ -61,7 +61,7 @@ class _ConvGNReLU(nn.Module):
         x = nn.Conv(self.dim, (self.kernel, self.kernel), use_bias=False,
                     kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype,
                     name="conv")(x)
-        x = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="norm")(x)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.relu(x) if self.relu else x
 
 

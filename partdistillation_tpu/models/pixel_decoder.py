@@ -65,12 +65,12 @@ class _EncoderLayer(nn.Module):
             dtype=self.cfg.dtype,
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
-        src = nn.LayerNorm(dtype=self.cfg.dtype, name="norm1")(src + attn)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.dtype, name="norm1")(src + attn)
 
         y = nn.Dense(self.cfg.transformer_ffn_dim, dtype=self.cfg.dtype, name="linear1")(src)
         y = nn.relu(y)
         y = nn.Dense(self.cfg.conv_dim, dtype=self.cfg.dtype, name="linear2")(y)
-        return nn.LayerNorm(dtype=self.cfg.dtype, name="norm2")(src + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.dtype, name="norm2")(src + y)
 
 
 class MSDeformAttnPixelDecoder(nn.Module):
@@ -98,7 +98,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 cfg.conv_dim, (1, 1), kernel_init=xavier, dtype=cfg.dtype,
                 name=f"input_proj{i}",
             )(x)
-            proj = nn.GroupNorm(num_groups=32, dtype=cfg.dtype, name=f"input_norm{i}")(proj)
+            proj = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=cfg.dtype, name=f"input_norm{i}")(proj)
             srcs.append(proj.reshape(b, h * w, cfg.conv_dim))
             poss.append(
                 jnp.broadcast_to(
@@ -136,14 +136,14 @@ class MSDeformAttnPixelDecoder(nn.Module):
             cfg.conv_dim, (1, 1), use_bias=False, kernel_init=xavier, dtype=cfg.dtype,
             name="fpn_lateral",
         )(x2)
-        lateral = nn.GroupNorm(num_groups=32, dtype=cfg.dtype, name="fpn_lateral_norm")(lateral)
+        lateral = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=cfg.dtype, name="fpn_lateral_norm")(lateral)
         top = outs[-1]
         y = lateral + _resize_bilinear(top, lateral.shape[1], lateral.shape[2])
         y = nn.Conv(
             cfg.conv_dim, (3, 3), use_bias=False, kernel_init=xavier, dtype=cfg.dtype,
             name="fpn_output",
         )(y)
-        y = nn.GroupNorm(num_groups=32, dtype=cfg.dtype, name="fpn_output_norm")(y)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=cfg.dtype, name="fpn_output_norm")(y)
         y = nn.relu(y)
 
         mask_features = nn.Conv(

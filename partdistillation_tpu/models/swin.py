@@ -269,7 +269,7 @@ class SwinBlock(nn.Module):
         shift = self.shift_size if min(h, w) > ws else 0
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
         pad_b = (ws - h % ws) % ws
         pad_r = (ws - w % ws) % ws
@@ -301,7 +301,7 @@ class SwinBlock(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, deterministic)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
@@ -323,7 +323,7 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate(
             [x[:, :, 0, :, 0], x[:, :, 1, :, 0], x[:, :, 0, :, 1], x[:, :, 1, :, 1]], axis=-1
         )
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -340,7 +340,7 @@ class SwinTransformer(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, (p - h % p) % p), (0, (p - w % p) % p), (0, 0)))
         x = nn.Conv(cfg.embed_dim, (p, p), strides=(p, p), dtype=cfg.dtype, name="patch_embed")(x)
         if cfg.patch_norm:
-            x = nn.LayerNorm(dtype=cfg.dtype, name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="patch_norm")(x)
 
         total_depth = sum(cfg.depths)
         dpr = np.linspace(0.0, cfg.drop_path_rate, total_depth)
@@ -367,7 +367,7 @@ class SwinTransformer(nn.Module):
 
             key = f"res{stage + 2}"
             if key in cfg.out_features:
-                outs[key] = nn.LayerNorm(dtype=cfg.dtype, name=f"norm_{key}")(x)
+                outs[key] = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name=f"norm_{key}")(x)
 
             if stage < cfg.num_layers - 1:
                 x = PatchMerging(dim=dim, dtype=cfg.dtype, name=f"downsample{stage}")(x)

@@ -86,16 +86,16 @@ class _DecoderLayer(nn.Module):
                                 use_fused=cfg.use_fused_attention, name="cross_attn")(
             q + q_pos, src + src_pos, src, block_mask
         )
-        q = nn.LayerNorm(dtype=cfg.dtype, name="norm_cross")(q + ca)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm_cross")(q + ca)
 
         sa = MultiHeadAttention(cfg.hidden_dim, cfg.num_heads, dtype=cfg.dtype, name="self_attn")(
             q + q_pos, q + q_pos, q, None
         )
-        q = nn.LayerNorm(dtype=cfg.dtype, name="norm_self")(q + sa)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm_self")(q + sa)
 
         y = nn.Dense(cfg.dim_feedforward, dtype=cfg.dtype, name="ffn1")(q)
         y = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype, name="ffn2")(nn.relu(y))
-        return nn.LayerNorm(dtype=cfg.dtype, name="norm_ffn")(q + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm_ffn")(q + y)
 
 
 def _attn_block_mask(mask_logits: jnp.ndarray, hw: Tuple[int, int], num_heads: int):
@@ -104,7 +104,12 @@ def _attn_block_mask(mask_logits: jnp.ndarray, hw: Tuple[int, int], num_heads: i
     (reference mask2former_transformer_decoder.py:385, 452-455)."""
     b, q = mask_logits.shape[:2]
     h, w = hw
-    m = jax.image.resize(mask_logits, (b, q, h, w), method="linear")
+    # antialias=False: plain bilinear point-sampling at half-pixel centers,
+    # exactly torch F.interpolate(mode="bilinear", align_corners=False)
+    # (mask2former_transformer_decoder.py:452) — the default antialiased
+    # downsample would shift sigmoid values across the 0.5 threshold
+    m = jax.image.resize(mask_logits, (b, q, h, w), method="linear",
+                         antialias=False)
     blocked = jax.nn.sigmoid(m).reshape(b, q, h * w) < 0.5
     all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
     blocked = jnp.where(all_blocked, False, blocked)
@@ -162,7 +167,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         output = jnp.broadcast_to(query_feat[None], (b, cfg.num_queries, cfg.hidden_dim))
         q_pos = jnp.broadcast_to(query_embed[None], (b, cfg.num_queries, cfg.hidden_dim))
 
-        decoder_norm = nn.LayerNorm(dtype=cfg.dtype, name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="decoder_norm")
         mask_embed_mlp = _MLP(cfg.hidden_dim, cfg.mask_dim, 3, dtype=cfg.dtype, name="mask_embed")
         class_head = self._build_class_head()
 

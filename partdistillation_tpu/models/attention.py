@@ -103,6 +103,12 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     dtype: jnp.dtype = jnp.float32
+    # sampling-core formulation (ops.ms_deform_attn): None = backend default.
+    # "banded" is exact while taps stay within band_radius rows of the
+    # reference (true at the offset init; verify trained weights with
+    # ops.ms_deform_attn.msda_band_oob_fraction).
+    msda_mode: Optional[str] = None
+    band_radius: int = 6
 
     @nn.compact
     def __call__(
@@ -144,5 +150,6 @@ class MSDeformAttn(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
 
-        out = ms_deform_attn(value, tuple(spatial_shapes), locations, weights)
+        out = ms_deform_attn(value, tuple(spatial_shapes), locations, weights,
+                             mode=self.msda_mode, band_radius=self.band_radius)
         return nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(out)

@@ -37,6 +37,11 @@ class PixelDecoderConfig:
     fpn_in_feature: str = "res2"
     num_output_levels: int = 3
     dtype: jnp.dtype = jnp.float32
+    # ops.ms_deform_attn sampling-core mode (None = backend default);
+    # "banded" requires taps within msda_band_radius rows of the reference
+    # (see msda_band_oob_fraction for the runtime counter)
+    msda_mode: "str | None" = None
+    msda_band_radius: int = 6
 
 
 def _reference_points(spatial_shapes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
@@ -63,6 +68,8 @@ class _EncoderLayer(nn.Module):
             n_heads=self.cfg.n_heads,
             n_points=self.cfg.n_points,
             dtype=self.cfg.dtype,
+            msda_mode=self.cfg.msda_mode,
+            band_radius=self.cfg.msda_band_radius,
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.dtype, name="norm1")(src + attn)

@@ -34,12 +34,14 @@ TPU design notes
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["ms_deform_attn"]
+__all__ = ["ms_deform_attn", "msda_band_oob_fraction"]
 
 
 def _corner_taps(x, y, h, w, wl, dtype):
@@ -66,6 +68,7 @@ def ms_deform_attn(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     mode: Optional[str] = None,
+    band_radius: int = 6,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention sampling.
 
@@ -76,9 +79,18 @@ def ms_deform_attn(
       sampling_locations: (B, Lq, M, L, P, 2), normalized to [0, 1] over each
         level's extent, last dim ordered (x, y).
       attention_weights: (B, Lq, M, L, P), softmax-normalized over (L, P).
-      mode: "onehot_mxu" | "take" | None (auto: onehot_mxu on TPU). Both
-        modes are numerically equivalent (identical corner weights); they
-        differ only in how the sparse sampling matrix is applied.
+      mode: "onehot_mxu" | "take" | "banded" | "pallas_folded" | None
+        (auto: onehot_mxu on TPU). All modes share identical corner weights;
+        they differ only in how the sparse sampling matrix is applied.
+        "banded" additionally requires Lq == S (encoder self-attention,
+        queries = pixels in level-major row-major order) and is exact only
+        while every tap stays within `band_radius` rows of its query's
+        reference row (see _ms_deform_attn_banded; measure with
+        msda_band_oob_fraction).
+      band_radius: vertical tap radius, in SAMPLING-level pixels, that
+        "banded" mode guarantees to cover (offsets are predicted in per-level
+        pixel units, attention.py:_sampling_offset_bias_init caps the init at
+        n_points pixels).
 
     Returns:
       (B, Lq, M * D).
@@ -93,12 +105,16 @@ def ms_deform_attn(
     if mode == "onehot_mxu":
         return _ms_deform_attn_onehot(
             value, spatial_shapes, sampling_locations, attention_weights)
+    if mode == "banded":
+        return _ms_deform_attn_banded(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            band_radius)
     if mode == "pallas_folded":
         return _ms_deform_attn_pallas_folded(
             value, spatial_shapes, sampling_locations, attention_weights)
     if mode != "take":
         raise ValueError(f"unknown ms_deform_attn mode {mode!r} "
-                         "(onehot_mxu | take | pallas_folded)")
+                         "(onehot_mxu | take | banded | pallas_folded)")
     b, s, m, d = value.shape
     _, lq, _, num_levels, p, _ = sampling_locations.shape
     assert num_levels == len(spatial_shapes)
@@ -206,6 +222,190 @@ def _ms_deform_attn_onehot(
 
     # (B, M, Lq, D) -> (B, Lq, M*D)
     return out.astype(dtype).transpose(0, 2, 1, 3).reshape(b, lq, m * d)
+
+
+@functools.lru_cache(maxsize=None)
+def _band_geometry(spatial_shapes: Tuple[Tuple[int, int], ...], radius: int,
+                   tile_queries: int = 512):
+    """Static banding plan for encoder self-attention (queries == pixels).
+
+    For each (query level ql, sampling level lvl) pair: queries are grouped
+    into tiles of `tq` consecutive rows of the ql grid; a tile's taps — bounded
+    by `radius` sampling-level pixels around the reference row — land in a
+    fixed horizontal BAND of the lvl grid, so the bilinear hat build only has
+    to cover band_rows * W_lvl columns instead of H_lvl * W_lvl. Rows near the
+    image border clip the band inward (coverage there is strictly wider).
+
+    Returns {(ql, lvl): None | (tq, band_rows, starts tuple)} — None means the
+    band would cover the whole level (no banding win; caller uses the dense
+    hat build for that pair).
+    """
+    plan = {}
+    for ql, (hq, wq) in enumerate(spatial_shapes):
+        # largest divisor of hq with tq*wq <= tile_queries (>=1 row)
+        tq = 1
+        for cand in range(1, hq + 1):
+            if hq % cand == 0 and cand * wq <= max(tile_queries, wq):
+                tq = cand
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            scale = h / hq
+            # reference row (pixel coords) of query row r: (r + 0.5)*scale - 0.5
+            # tile t covers query rows [t*tq, (t+1)*tq); corners add +-1 row
+            lo_off = 0.5 * scale - 0.5 - radius
+            hi_off = (tq - 0.5) * scale - 0.5 + radius
+            band_rows = int(np.floor(hi_off) + 1 - np.floor(lo_off)) + 1
+            if band_rows >= h:
+                plan[(ql, lvl)] = None
+                continue
+            starts = []
+            for t in range(hq // tq):
+                s = int(np.floor(t * tq * scale + lo_off))
+                starts.append(max(0, min(s, h - band_rows)))
+            plan[(ql, lvl)] = (tq, band_rows, tuple(starts))
+    return plan
+
+
+def _ms_deform_attn_banded(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    radius: int,
+) -> jnp.ndarray:
+    """Banded-hat MXU formulation for encoder self-attention (Lq == S).
+
+    Same hat-product LHS as _ms_deform_attn_onehot, but each query-row tile
+    contracts only against its static band of sampling rows — the VPU hat
+    build (the profiled bottleneck: ~45% of the stage-3 step, PERF.md
+    roofline) shrinks by HW/band per pair (~2.7x total at the 640^2
+    geometry). EXACTNESS CONTRACT: identical to the dense modes while every
+    tap's bilinear corners stay within `radius` rows of the query's reference
+    row (true at the deformable-DETR offset init, which caps offsets at
+    n_points=4 level pixels, and measurable on trained weights with
+    msda_band_oob_fraction); taps escaping the band read zero, exactly like
+    zero-padding. Replaces the reference CUDA gather's arbitrary-offset reach
+    (ms_deform_im2col_cuda.cuh:243) with a locality contract + counter.
+    """
+    b, s, m, d = value.shape
+    _, lq, _, num_levels, p, _ = sampling_locations.shape
+    if lq != s:
+        raise ValueError(
+            f"banded mode requires queries == pixels (Lq {lq} != S {s}); "
+            "use onehot_mxu for decoder-style queries")
+    dtype = value.dtype
+    plan = _band_geometry(tuple(spatial_shapes), int(radius))
+
+    val = value.transpose(0, 2, 1, 3)  # (B, M, S, D)
+    loc = sampling_locations.transpose(0, 2, 1, 4, 3, 5)  # (B, M, Lq, P, L, 2)
+    attw = attention_weights.transpose(0, 2, 1, 4, 3).astype(jnp.float32)
+
+    out_chunks = []  # per query level, (B, M, HWq, D) f32
+    q_start = 0
+    for ql, (hq, wq) in enumerate(spatial_shapes):
+        nq = hq * wq
+        acc = jnp.zeros((b, m, nq, d), jnp.float32)
+        v_start = 0
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            hw = h * w
+            vl = val[:, :, v_start : v_start + hw]
+            x = loc[:, :, q_start : q_start + nq, :, lvl, 0] * w - 0.5
+            y = loc[:, :, q_start : q_start + nq, :, lvl, 1] * h - 0.5
+            aw = attw[:, :, q_start : q_start + nq, :, lvl]  # (B, M, nq, P)
+            geom = plan[(ql, lvl)]
+            if geom is None:
+                # band covers the level: dense hat build (identical to onehot)
+                colx = jnp.arange(hw, dtype=jnp.float32) % w
+                coly = jnp.floor(jnp.arange(hw, dtype=jnp.float32) / w)
+                wm = None
+                for pi in range(p):
+                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., pi, None] - colx))
+                    hy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., pi, None] - coly))
+                    term = hx * hy * aw[..., pi, None]
+                    wm = term if wm is None else wm + term
+                acc = acc + jnp.einsum(
+                    "bmqs,bmsd->bmqd", wm.astype(dtype), vl,
+                    preferred_element_type=jnp.float32)
+            else:
+                tq, band_rows, starts = geom
+                n_tiles, tqq, sb = len(starts), tq * wq, band_rows * w
+                vband = jnp.stack(
+                    [jax.lax.slice_in_dim(vl, st * w, (st + band_rows) * w,
+                                          axis=2) for st in starts],
+                    axis=2)  # (B, M, T, Sb, D)
+                xt = x.reshape(b, m, n_tiles, tqq, p)
+                yt = y.reshape(b, m, n_tiles, tqq, p)
+                awt = aw.reshape(b, m, n_tiles, tqq, p)
+                colx = jnp.arange(sb, dtype=jnp.float32) % w  # (Sb,)
+                coly = (jnp.asarray(starts, jnp.float32)[:, None]
+                        + jnp.floor(jnp.arange(sb, dtype=jnp.float32) / w)
+                        [None, :])  # (T, Sb)
+                coly = coly[None, None, :, None, :]
+                wm = None
+                for pi in range(p):
+                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(xt[..., pi, None] - colx))
+                    hy = jnp.maximum(0.0, 1.0 - jnp.abs(yt[..., pi, None] - coly))
+                    term = hx * hy * awt[..., pi, None]
+                    wm = term if wm is None else wm + term
+                tile_out = jnp.einsum(
+                    "bmtqs,bmtsd->bmtqd", wm.astype(dtype), vband,
+                    preferred_element_type=jnp.float32)
+                acc = acc + tile_out.reshape(b, m, nq, d)
+            v_start += hw
+        out_chunks.append(acc)
+        q_start += nq
+
+    out = jnp.concatenate(out_chunks, axis=2)  # (B, M, Lq, D)
+    return out.astype(dtype).transpose(0, 2, 1, 3).reshape(b, lq, m * d)
+
+
+def msda_band_oob_fraction(
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    radius: int = 6,
+) -> jnp.ndarray:
+    """Fraction of attention mass whose taps fall OUTSIDE the banded-mode
+    coverage window (the runtime counter for the banded kernel's locality
+    contract). 0.0 means banded == dense exactly; report alongside any run
+    that enables mode="banded" on trained weights.
+
+    A tap is out-of-band if either bilinear corner row lies inside the image
+    but outside the tile's band (corners outside the image read zero in every
+    mode and are therefore never counted).
+    """
+    b, lq, m, num_levels, p, _ = sampling_locations.shape
+    s = sum(h * w for h, w in spatial_shapes)
+    if lq != s:
+        raise ValueError("oob counter requires queries == pixels (Lq == S)")
+    plan = _band_geometry(tuple(spatial_shapes), int(radius))
+
+    total = jnp.sum(attention_weights.astype(jnp.float32))
+    oob = jnp.zeros((), jnp.float32)
+    q_start = 0
+    for ql, (hq, wq) in enumerate(spatial_shapes):
+        nq = hq * wq
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            geom = plan[(ql, lvl)]
+            if geom is None:
+                continue
+            tq, band_rows, starts = geom
+            n_tiles = len(starts)
+            y = (sampling_locations[:, q_start : q_start + nq, :, lvl, :, 1]
+                 * h - 0.5)  # (B, nq, M, P)
+            aw = attention_weights[:, q_start : q_start + nq, :, lvl].astype(
+                jnp.float32)
+            y = y.reshape(b, n_tiles, nq // n_tiles, m, p)
+            aw = aw.reshape(b, n_tiles, nq // n_tiles, m, p)
+            st = jnp.asarray(starts, jnp.float32)[None, :, None, None, None]
+            y0 = jnp.floor(y)
+            bad = jnp.zeros(y.shape, bool)
+            for corner in (y0, y0 + 1.0):
+                inside_img = (corner >= 0) & (corner <= h - 1)
+                inside_band = (corner >= st) & (corner <= st + band_rows - 1)
+                bad = bad | (inside_img & ~inside_band)
+            oob = oob + jnp.sum(aw * bad)
+        q_start += nq
+    return oob / jnp.maximum(total, 1e-12)
 
 
 def _ms_deform_attn_pallas_folded(

@@ -205,6 +205,10 @@ class DataConfig:
     # vocabulary — aligns runs across dataset variants (the reference's
     # imagenet1k_to_22k_mapping.pkl, part_imagenet_mapper.py:100-103)
     vocab_map: str = ""
+    # optional cached {class_code: [file, ...]} manifest JSON: startup becomes
+    # one file read instead of an O(classes) listdir walk (built on first use;
+    # SURVEY §7 hard-part #7, register_imagenet.py:33-41)
+    manifest: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

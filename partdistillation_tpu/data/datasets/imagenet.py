@@ -28,6 +28,7 @@ from ..pseudo_store import PseudoLabelStore
 __all__ = [
     "read_class_names",
     "global_code_to_id",
+    "build_manifest",
     "load_imagenet",
     "load_imagenet_with_proposals",
     "load_imagenet_with_segmentation",
@@ -35,6 +36,47 @@ __all__ = [
 ]
 
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".JPEG", ".JPG", ".PNG")
+
+
+def build_manifest(root: str, path: str) -> Dict[str, List[str]]:
+    """One-time directory walk cached as JSON: {class_code: [file, ...]}.
+
+    At IN-22K scale (~22k class dirs, 14M files) the per-startup listdir walk
+    the reference does (register_imagenet.py:33-41, SURVEY §7 hard-part #7)
+    costs minutes on network filesystems and multiplies by every job in the
+    farm; the manifest makes startup one file read. Built atomically
+    (tmp + rename) so concurrent hosts racing to create it are safe — they
+    each write identical content.
+    """
+    import json
+    import tempfile
+
+    manifest: Dict[str, List[str]] = {}
+    for code in sorted(os.listdir(root)):
+        class_dir = os.path.join(root, code)
+        if code.startswith(".") or not os.path.isdir(class_dir):
+            continue
+        manifest[code] = sorted(
+            f for f in os.listdir(class_dir) if f.endswith(_IMG_EXTS))
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+    return manifest
+
+
+def _load_manifest(root: str, path: Optional[str]) -> Optional[Dict[str, List[str]]]:
+    """Read (or build-and-cache) the manifest; None when disabled."""
+    if not path:
+        return None
+    import json
+
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return build_manifest(root, path)
 
 
 def read_class_names(root: str) -> Dict[str, str]:
@@ -59,7 +101,8 @@ def read_class_names(root: str) -> Dict[str, str]:
 
 
 def global_code_to_id(root: str,
-                      vocab_map: Optional[str] = None) -> Dict[str, int]:
+                      vocab_map: Optional[str] = None,
+                      manifest: Optional[str] = None) -> Dict[str, int]:
     """The dataset-global synset-code -> class-id mapping: ids assigned over
     the sorted full class-directory list, identical on every host/shard. This
     is the vocabulary stages 4/5 key their centroid banks and part-classifier
@@ -76,10 +119,14 @@ def global_code_to_id(root: str,
         with open(vocab_map) as f:
             loaded = json.load(f)
         return {str(c): int(i) for c, i in loaded.items()}
-    codes = sorted(
-        d for d in os.listdir(root)
-        if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
-    )
+    m = _load_manifest(root, manifest)
+    if m is not None:
+        codes = sorted(m)
+    else:
+        codes = sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
+        )
     return {c: i for i, c in enumerate(codes)}
 
 
@@ -107,6 +154,7 @@ def load_imagenet(
     object_mask_store: Optional[str] = None,
     debug_limit: Optional[int] = None,
     vocab_map: Optional[str] = None,
+    manifest: Optional[str] = None,
 ) -> List[dict]:
     """Items: {image_id, file_name, class_code, class_id, class_name[, object_record]}.
 
@@ -118,16 +166,22 @@ def load_imagenet(
       register_imagenet.py:49-55).
     """
     names = read_class_names(root)
+    # cached manifest (one-time walk) replaces the O(classes) listdir storm
+    # at every startup; None = walk the directories directly
+    mfst = _load_manifest(root, manifest)
     # class ids are GLOBAL — assigned over the UNFILTERED sorted listing
     # (exactly global_code_to_id), never over a filtered subset: every
     # shard/host/filter combination must agree on code <-> id, because
     # stages 4/5 key centroid banks and the part-classifier head by class_id
     # across the whole dataset. Filters only narrow which classes are
     # *enumerated*.
-    code_to_id = global_code_to_id(root, vocab_map)
+    code_to_id = global_code_to_id(root, vocab_map, manifest)
     # with a supplied vocabulary, only classes that exist on disk enumerate
-    codes = sorted(c for c in code_to_id
-                   if os.path.isdir(os.path.join(root, c)))
+    if mfst is not None:
+        codes = sorted(c for c in code_to_id if c in mfst)
+    else:
+        codes = sorted(c for c in code_to_id
+                       if os.path.isdir(os.path.join(root, c)))
     if single_class_code:
         codes = [c for c in codes if c == single_class_code]
     if class_list is not None:
@@ -144,9 +198,12 @@ def load_imagenet(
     items: List[dict] = []
     for code in codes:
         class_dir = os.path.join(root, code)
-        for fname in sorted(os.listdir(class_dir)):
-            if not fname.endswith(_IMG_EXTS):
-                continue
+        if mfst is not None:
+            fnames = mfst[code]
+        else:
+            fnames = sorted(f for f in os.listdir(class_dir)
+                            if f.endswith(_IMG_EXTS))
+        for fname in fnames:
             image_id = os.path.splitext(fname)[0]
             if image_id in skip_ids:
                 continue

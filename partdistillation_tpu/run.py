@@ -99,6 +99,7 @@ def _imagenet_items(cfg, args, object_store: Optional[str] = None):
         object_mask_store=object_store,
         debug_limit=cfg.data.debug_limit,
         vocab_map=cfg.data.vocab_map or None,
+        manifest=cfg.data.manifest or None,
     )
 
 
@@ -324,7 +325,7 @@ def _assign_eval_class_ids(cfg, ds: dict, num_obj: int) -> list:
     from .data.datasets.imagenet import global_code_to_id
 
     try:
-        code_to_id = global_code_to_id(cfg.data.imagenet_root, cfg.data.vocab_map or None)
+        code_to_id = global_code_to_id(cfg.data.imagenet_root, cfg.data.vocab_map or None, cfg.data.manifest or None)
     except FileNotFoundError:
         code_to_id = {}
     if not code_to_id:
@@ -405,7 +406,7 @@ def cmd_detect(args):
         from .data.datasets.imagenet import global_code_to_id, read_class_names
         from .models.meta_arch.labeling import clip_region_scorer_tpu
 
-        code_to_id = global_code_to_id(cfg.data.imagenet_root, cfg.data.vocab_map or None)
+        code_to_id = global_code_to_id(cfg.data.imagenet_root, cfg.data.vocab_map or None, cfg.data.manifest or None)
         names = read_class_names(cfg.data.imagenet_root)
         vocab = [names.get(c, c) for c in sorted(code_to_id)]
         if args.clip_backend == "torch":
@@ -944,7 +945,7 @@ def cmd_rank(args):
             from .data.datasets.imagenet import global_code_to_id
 
             try:
-                num_obj = len(global_code_to_id(cfg.data.imagenet_root, cfg.data.vocab_map or None))
+                num_obj = len(global_code_to_id(cfg.data.imagenet_root, cfg.data.vocab_map or None, cfg.data.manifest or None))
             except FileNotFoundError:
                 num_obj = 1 + max((it["class_id"] for it in items), default=0)
         mapper = PartRankingMapper(image_size=cfg.data.image_size,

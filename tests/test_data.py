@@ -98,6 +98,30 @@ class TestRegistrars:
         rest = load_imagenet(mini_imagenet, skip_ids=done)
         assert len(rest) == 10
 
+    def test_manifest_cache(self, mini_imagenet, tmp_path):
+        """The cached manifest must produce the identical item list (including
+        class ids) and be built exactly once (startup O(1) listdirs after)."""
+        from partdistillation_tpu.data.datasets.imagenet import global_code_to_id
+
+        mpath = str(tmp_path / "manifest.json")
+        direct = load_imagenet(mini_imagenet)
+        via = load_imagenet(mini_imagenet, manifest=mpath)
+        assert via == direct
+        assert os.path.exists(mpath)
+        # second load reads the cache (identical result, ids included)
+        again = load_imagenet(mini_imagenet, manifest=mpath)
+        assert again == direct
+        assert global_code_to_id(mini_imagenet, manifest=mpath) == \
+            global_code_to_id(mini_imagenet)
+        # the manifest survives new files appearing on disk (it is a snapshot:
+        # the point is identical enumeration across every host and restart)
+        extra_dir = os.path.join(mini_imagenet, direct[0]["class_code"])
+        open(os.path.join(extra_dir, "zzz_new.jpg"), "wb").close()
+        try:
+            assert load_imagenet(mini_imagenet, manifest=mpath) == direct
+        finally:
+            os.unlink(os.path.join(extra_dir, "zzz_new.jpg"))
+
     def test_supplied_vocabulary_mapping(self, mini_imagenet, tmp_path):
         """A JSON vocab file replaces the derived mapping (the reference's
         imagenet1k_to_22k_mapping.pkl contract, part_imagenet_mapper.py

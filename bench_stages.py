@@ -102,6 +102,186 @@ def bench_dcrf(batch_size: int = 8, image_size: int = 640, capacity: int = 8,
     }))
 
 
+def bench_loader(n_images: int = 256, image_size: int = 640,
+                 batch_size: int = 16, num_workers: int = 8):
+    """Input-pipeline headroom: images/sec of `batch_iterator` with the
+    stage-3 ProposalTrainMapper (JPEG decode + aug + RLE decode + pad-stack)
+    over a synthetic on-disk dataset at 640^2. The number to compare against
+    is the stage-3 device throughput (bench.py): the loader must be >=2x the
+    device or the chip starves (VERDICT r2 weak #7 / SURVEY §7 hard-part #7).
+    vs_baseline = loader img/s / 19.08 (the round-2 device img/s/chip)."""
+    import tempfile
+
+    from PIL import Image
+
+    from partdistillation_tpu.data.datasets.imagenet import load_imagenet
+    from partdistillation_tpu.data.loader import batch_iterator
+    from partdistillation_tpu.data.mappers import ProposalTrainMapper
+    from partdistillation_tpu.data.pseudo_store import ShardWriter
+    from partdistillation_tpu.utils import rle as rle_codec
+
+    rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as root:
+        cls_dir = os.path.join(root, "n00000001")
+        os.makedirs(cls_dir)
+        # realistic JPEGs: smooth random fields, ~VGA-to-640^2 sizes
+        base = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        img = np.asarray(Image.fromarray(base).resize(
+            (image_size, int(image_size * 0.75))), np.uint8)
+        for i in range(n_images):
+            Image.fromarray(img).save(
+                os.path.join(cls_dir, f"img_{i:05d}.jpg"), quality=90)
+        store_dir = os.path.join(root, "stage2")
+        h, w = img.shape[:2]
+        # realistic proposals: contiguous blobs (random-noise masks would be
+        # worst-case RLE, ~1000x more runs than real part masks)
+        yy, xx = np.mgrid[0:h, 0:w]
+        with ShardWriter(store_dir, 0, 1) as wtr:
+            for i in range(n_images):
+                masks = []
+                for _ in range(4):
+                    cy, cx = rng.randint(0, h), rng.randint(0, w)
+                    ry, rx = rng.randint(h // 8, h // 3), rng.randint(w // 8, w // 3)
+                    masks.append(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0)
+                wtr.write({"image_id": f"img_{i:05d}", "object_ratio": 0.5,
+                           "part_masks": [rle_codec.encode(m) for m in masks]})
+        items = load_imagenet(root)
+        for it in items:
+            it["proposal_store"] = store_dir
+        mapper = ProposalTrainMapper(image_size=image_size)
+
+        # per-core number first: the mapper is thread-pooled, so host
+        # throughput = per-core x workers on a real multi-core TPU host (this
+        # bench box has os.cpu_count()=1, where pooling can only lose)
+        for it in items[:16]:
+            mapper(dict(it, _epoch=0))  # warm (store mmap, PIL codecs)
+        t0 = time.perf_counter()
+        for it in items[:64]:
+            mapper(dict(it, _epoch=1))
+        per_core = 64 / (time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        n = 0
+        for batch in batch_iterator(items, mapper, batch_size,
+                                    num_workers=num_workers):
+            n += batch["image"].shape[0]
+        pooled = n / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "loader_stage3_images_per_sec_per_core",
+        "value": round(per_core, 3),
+        "unit": "images/sec/core (host input pipeline; pooled on this box: "
+                f"{pooled:.1f} img/s with {num_workers} workers, "
+                f"{os.cpu_count()} cpus)",
+        # the loader must outrun the device (bench.py stage-3 img/s/chip)
+        # 2x per chip; baseline = 2 x 22.84
+        "vs_baseline": round(per_core / (2 * 22.84), 3),
+    }))
+
+
+def bench_stage4(batch_size: int = 8, image_size: int = 640, iters: int = 8,
+                 num_object_classes: int = 1000, k: int = 8,
+                 dtype=jnp.bfloat16):
+    """Stage-4 part ranking at production geometry: the CLUSTER phase
+    (Swin-L 640^2 Mask2Former forward + top-200 + unique assignment +
+    ratio/score filters + GT top-1 match) and the SAVE/label phase (forward +
+    per-class centroid-bank nearest-centroid labeling), plus the on-device
+    per-class k-means fit the host loop calls between them.
+
+    Reference: part_ranking_model.py driven as 50 jobs x 8 V100s
+    (sh_files/part_ranking/run.sh:34-44), batch 1/GPU with sklearn k-means on
+    CPU; the forward is the same Mask2Former-SwinL as stage 2's, so we reuse
+    the 5 img/s/V100 inference estimate as the per-device baseline."""
+    from partdistillation_tpu.ops.kmeans import masked_kmeans
+    from partdistillation_tpu.models.meta_arch.part_ranking import (
+        PartRankingConfig, RankingMode, make_cluster_fn, make_label_fn)
+    from partdistillation_tpu.models.meta_arch.proposal import normalize_images
+    from partdistillation_tpu.models.pixel_decoder import PixelDecoderConfig
+    from partdistillation_tpu.models.segmenter import (MaskFormerSegmenter,
+                                                       SegmenterConfig)
+    from partdistillation_tpu.models.swin import swin_large_config
+    from partdistillation_tpu.models.transformer_decoder import (
+        TransformerDecoderConfig)
+
+    seg = SegmenterConfig(
+        swin=swin_large_config(dtype=dtype),
+        pixel_decoder=PixelDecoderConfig(dtype=dtype),
+        decoder=TransformerDecoderConfig(num_classes=1, num_queries=200,
+                                         dec_layers=9, dtype=dtype),
+    )
+    cfg = PartRankingConfig(segmenter=seg, num_clusters=k)
+    model = MaskFormerSegmenter(seg)
+    rng = np.random.RandomState(0)
+    t = 8
+    batch = {
+        "image": jnp.asarray(
+            rng.randint(0, 255, (batch_size, image_size, image_size, 3)),
+            jnp.float32),
+        "masks": jnp.asarray(
+            (rng.rand(batch_size, t, image_size, image_size) < 0.15)
+            .astype(np.float32)),
+        "mask_valid": jnp.ones((batch_size, t), bool),
+        "mask_labels": jnp.asarray(rng.randint(0, k, (batch_size, t)),
+                                   jnp.int32),
+        "object_mask": jnp.asarray(
+            (rng.rand(batch_size, image_size, image_size) < 0.5)
+            .astype(np.float32)),
+        "object_label": jnp.asarray(
+            rng.randint(0, num_object_classes, (batch_size,)), jnp.int32),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 normalize_images(batch["image"][:1]))
+
+    cluster_fn = jax.jit(make_cluster_fn(cfg))
+    out = cluster_fn(params, batch)
+    _sync(out["scores"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = cluster_fn(params, batch)
+    _sync(out["scores"])
+    ips = batch_size * iters / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "stage4_ranking_cluster_images_per_sec_per_chip",
+        "value": round(ips, 3), "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 5.0, 3),
+    }))
+
+    # per-class k-means fit (host loop between cluster and save phases):
+    # 10k reservoir features -> k=8 centroids, 20 Lloyd iterations
+    feats = jnp.asarray(rng.randn(10000, 256).astype(np.float32))
+    fmask = jnp.ones((10000,), bool)
+    fit = jax.jit(lambda f, key: masked_kmeans(f, fmask, k, key, iters=20)[0])
+    cents = fit(feats, jax.random.PRNGKey(0))
+    _sync(cents)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        cents = fit(feats, jax.random.PRNGKey(i))
+    _sync(cents)
+    per_fit_ms = (time.perf_counter() - t0) / iters * 1e3
+    print(json.dumps({
+        "metric": "stage4_kmeans_fit_ms_per_class",
+        "value": round(per_fit_ms, 2), "unit": "ms (10k x 256 feats, k=8)",
+        # sklearn KMeans(n_init=10) on the same workload ~1.5 s/class (CPU)
+        "vs_baseline": round(1500.0 / per_fit_ms, 2),
+    }))
+
+    centroids = jnp.asarray(
+        rng.randn(num_object_classes, k, 256).astype(np.float32))
+    label_fn = jax.jit(make_label_fn(cfg, RankingMode.SAVE))
+    out = label_fn(params, batch, centroids)
+    first = next(iter(out.values()))
+    _sync(first)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = label_fn(params, batch, centroids)
+    _sync(next(iter(out.values())))
+    ips = batch_size * iters / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "stage4_ranking_label_images_per_sec_per_chip",
+        "value": round(ips, 3), "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 5.0, 3),
+    }))
+
+
 def bench_stage5(batch_size: int = 8, image_size: int = 640,
                  num_object_classes: int = 22000, num_parts: int = 8,
                  iters: int = 10, dtype=jnp.bfloat16):
@@ -205,10 +385,14 @@ def bench_stage5(batch_size: int = 8, image_size: int = 640,
 if __name__ == "__main__":
     import sys
 
-    stages = sys.argv[1:] or ["2", "2b", "5"]
+    stages = sys.argv[1:] or ["loader", "2", "2b", "4", "5"]
+    if "loader" in stages:
+        bench_loader()
     if "2" in stages:
         bench_stage2()
     if "2b" in stages:
         bench_dcrf()
+    if "4" in stages:
+        bench_stage4()
     if "5" in stages:
         bench_stage5()

@@ -52,7 +52,11 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
 
     seg = SegmenterConfig(
         swin=swin_large_config(dtype=dtype),
-        pixel_decoder=PixelDecoderConfig(dtype=dtype),
+        # banded MSDA is exact here: the encoder is FROZEN (the stage-3
+        # launch config), so offsets stay at the deformable-DETR init whose
+        # max magnitude is n_points=4 level pixels < radius 6; measured
+        # out-of-band attention mass 0.0 (tools/msda_offset_hist.py, PERF.md)
+        pixel_decoder=PixelDecoderConfig(dtype=dtype, msda_mode="banded"),
         decoder=TransformerDecoderConfig(num_classes=1, num_queries=200, dec_layers=9,
                                          dtype=dtype),
         # reference stage-3 freeze (train_multi.sh:8): stop-gradient releases

@@ -427,6 +427,65 @@ def cmd_detect(args):
     print(json.dumps({"stage": "detect", **stats}))
 
 
+def cmd_eval_detect(args):
+    """Stage-1 detection quality: AR@k of the `detect` path's object-mask
+    proposals against OBJECT ground truth (PartImageNet object instances /
+    Pascal object silhouettes) — the first measurement of the
+    Detic-replacement claim (reference stage-1: labeling_detic.py:57-119,
+    which the reference never scores either; its Detic is an external
+    dependency)."""
+    cfg = _setup(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data.loader import batch_iterator
+    from .data.mappers import PartEvalMapper
+    from .evaluation.proposal_evaluator import ProposalEvaluator
+    from .models.meta_arch.labeling import make_proposal_detection_fn
+    from .models.meta_arch.proposal import ProposalModelConfig, normalize_images
+    from .models.segmenter import MaskFormerSegmenter
+
+    ds = _load_eval_items(cfg, args)
+    seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
+    model_cfg = ProposalModelConfig(
+        segmenter=seg, test_topk=min(args.topk, args.num_queries))
+    model = MaskFormerSegmenter(seg)
+    size = cfg.data.image_size
+    params = _restore_params(
+        args.params,
+        lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
+                                    normalize_images(jnp.zeros((1, size, size, 3)))),
+        trainer_dir=args.trainer_checkpoint,
+        torch_path=getattr(args, "torch_params", None),
+        require_weights=True, allow_random=args.allow_random_init)
+
+    detection_fn = jax.jit(make_proposal_detection_fn(model_cfg))
+    mapper = PartEvalMapper(image_size=size, capacity=16,
+                            merge_parts_by_class=False, **ds["mapper_kwargs"])
+    limits = tuple(l for l in (1, 10, 50, 100) if l <= model_cfg.test_topk)
+    evaluator = ProposalEvaluator(limits=limits or (model_cfg.test_topk,),
+                                  distributed=jax.process_count() > 1)
+    for batch in batch_iterator(ds["items"], mapper, cfg.data.batch_size,
+                                num_workers=cfg.data.num_workers):
+        out = detection_fn(params, jnp.asarray(batch["image"]))
+        bv = batch["batch_valid"]
+        # GT = the object silhouette, one instance per image
+        gt = batch["object_mask"][:, None]
+        gt_valid = gt.reshape(gt.shape[0], 1, -1).any(-1)
+        evaluator.process(
+            {"pred_masks": np.asarray(out["masks"])[bv],
+             "scores": np.asarray(out["scores"])[bv],
+             "valid": np.asarray(out["valid"])[bv]},
+            gt[bv], gt_valid[bv])
+    metrics = evaluator.evaluate()
+    from .engine.metrics import print_csv_format
+
+    print_csv_format(metrics, task="eval-detect")
+    print(json.dumps({"stage": "eval-detect", "dataset": ds["name"],
+                      **metrics}))
+
+
 # ---------------------------------------------------------------- stage 2
 
 
@@ -1771,6 +1830,14 @@ def build_parser():
                         "(models/clip_vit) or host-side torch")
     p.add_argument("--no-class-match", action="store_true")
     p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser("eval-detect",
+                       help="stage-1 detection AR vs OBJECT ground truth")
+    _add_common(p)
+    _add_eval_dataset(p)
+    p.add_argument("--num-queries", type=int, default=200)
+    p.add_argument("--topk", type=int, default=100)
+    p.set_defaults(fn=cmd_eval_detect)
 
     p = sub.add_parser("propose", help="stage 2: pixel grouping")
     _add_common(p)

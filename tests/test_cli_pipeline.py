@@ -291,3 +291,18 @@ def test_stage1_detect_from_pixels(pipeline_env, capsys):
     m = rle_codec.decode(rec["object_masks"][0])
     assert m.shape == (64, 64) and m.any()
     assert rec["scores"] == sorted(rec["scores"], reverse=True)
+
+
+def test_stage1_eval_detect(pipeline_env, capsys):
+    """Stage-1 detection quality is MEASURABLE: AR@k of the detect path's
+    object-mask proposals against PartImageNet OBJECT GT (the first number on
+    the Detic-replacement claim; the reference never scores its stage 1)."""
+    ov = pipeline_env["overrides"]
+    res = _run(["eval-detect", "--tiny", "--num-queries", "8", "--topk", "8",
+                "--trainer-checkpoint",
+                str(pipeline_env["tmp"] / "ckpt/proposal"),
+                "--set", *ov], capsys, stage="eval-detect")
+    assert res["dataset"] == "part_imagenet"
+    assert "AR@1" in res and np.isfinite(res["AR@1"])
+    # one object instance per synthetic image
+    assert res["# instances"] == 8

@@ -204,7 +204,10 @@ def bench_stage4(batch_size: int = 8, image_size: int = 640, iters: int = 8,
 
     seg = SegmenterConfig(
         swin=swin_large_config(dtype=dtype),
-        pixel_decoder=PixelDecoderConfig(dtype=dtype),
+        # banded MSDA is exact here: ranking runs the FROZEN stage-3
+        # checkpoint (eval-only), so sampling offsets are fixed at their
+        # trained values (measured in-band, tools/msda_offset_hist.py)
+        pixel_decoder=PixelDecoderConfig(dtype=dtype, msda_mode="banded"),
         decoder=TransformerDecoderConfig(num_classes=1, num_queries=200,
                                          dec_layers=9, dtype=dtype),
     )
@@ -313,7 +316,9 @@ def bench_stage5(batch_size: int = 8, image_size: int = 640,
 
     seg = SegmenterConfig(
         swin=swin_large_config(dtype=dtype),
-        pixel_decoder=PixelDecoderConfig(dtype=dtype),
+        # banded MSDA is exact here: the stage-5 launch config freezes
+        # backbone+encoder (train.sh:8), so offsets never move
+        pixel_decoder=PixelDecoderConfig(dtype=dtype, msda_mode="banded"),
         decoder=TransformerDecoderConfig(
             num_classes=num_parts, num_queries=200, dec_layers=9, dtype=dtype,
             num_object_classes=num_object_classes, num_parts=num_parts),
@@ -323,6 +328,9 @@ def bench_stage5(batch_size: int = 8, image_size: int = 640,
     cfg = PartDistillationConfig(
         segmenter=seg,
         criterion=CriterionConfig(num_classes=num_parts, num_points=12544,
+                                  # stage-5 launch config also disables
+                                  # importance sampling (train.sh:20,42)
+                                  importance_sample_ratio=0.0,
                                   matcher=MatcherConfig(num_points=12544)),
         num_parts=num_parts,
     )

@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -95,7 +96,10 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
     opt_state = tx.init(params)
     loss_fn = make_loss_fn(cfg)
 
-    @jax.jit
+    # donate params/opt_state like the production Trainer: without donation
+    # XLA pass-through-copies every unchanged (frozen) parameter and moment
+    # to the outputs — profiled at ~1.2 s/step of async DMA at bs16
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, key):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, key)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -19,6 +19,7 @@ because of this), i.e. ~0.8 img/s/core.
 import json
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -361,7 +362,9 @@ def bench_stage5(batch_size: int = 8, image_size: int = 640,
     opt_state = tx.init(params)
     loss_fn = make_loss_fn(cfg)
 
-    @jax.jit
+    # donated like the production Trainer (see bench.py: non-donated steps
+    # pass-through-copy every frozen param/moment, ~1.2 s/step async DMA)
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, key):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, key)

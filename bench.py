@@ -57,7 +57,11 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
         # launch config), so offsets stay at the deformable-DETR init whose
         # max magnitude is n_points=4 level pixels < radius 6; measured
         # out-of-band attention mass 0.0 (tools/msda_offset_hist.py, PERF.md)
-        pixel_decoder=PixelDecoderConfig(dtype=dtype, msda_mode="banded"),
+        pixel_decoder=PixelDecoderConfig(
+            dtype=dtype, msda_mode="banded",
+            # BENCH_BAND_RADIUS / BENCH_BAND_TQ: A/B knobs (PERF.md round 3)
+            msda_band_radius=int(os.environ.get("BENCH_BAND_RADIUS", "6")),
+            msda_band_tile_queries=int(os.environ.get("BENCH_BAND_TQ", "512"))),
         decoder=TransformerDecoderConfig(num_classes=1, num_queries=200, dec_layers=9,
                                          dtype=dtype),
         # reference stage-3 freeze (train_multi.sh:8): stop-gradient releases

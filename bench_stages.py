@@ -362,9 +362,12 @@ def bench_stage5(batch_size: int = 8, image_size: int = 640,
     opt_state = tx.init(params)
     loss_fn = make_loss_fn(cfg)
 
-    # donated like the production Trainer (see bench.py: non-donated steps
-    # pass-through-copy every frozen param/moment, ~1.2 s/step async DMA)
-    @partial(jax.jit, donate_argnums=(0, 1))
+    # NOT donated: the donated variant of this program (giant head + banded
+    # MSDA) crashes the remote TPU worker deterministically at first
+    # execution — 2/2 attempts incl. a fresh worker ("TPU worker process
+    # crashed ... kernel fault"), while the identical non-donated program
+    # runs. bench.py's stage-3 step donates fine; PERF.md negative results.
+    @jax.jit
     def train_step(params, opt_state, batch, key):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, key)

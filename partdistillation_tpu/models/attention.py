@@ -109,6 +109,7 @@ class MSDeformAttn(nn.Module):
     # ops.ms_deform_attn.msda_band_oob_fraction).
     msda_mode: Optional[str] = None
     band_radius: int = 6
+    band_tile_queries: int = 512
 
     @nn.compact
     def __call__(
@@ -151,5 +152,6 @@ class MSDeformAttn(nn.Module):
         )
 
         out = ms_deform_attn(value, tuple(spatial_shapes), locations, weights,
-                             mode=self.msda_mode, band_radius=self.band_radius)
+                             mode=self.msda_mode, band_radius=self.band_radius,
+                             band_tile_queries=self.band_tile_queries)
         return nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(out)

@@ -42,6 +42,9 @@ class PixelDecoderConfig:
     # (see msda_band_oob_fraction for the runtime counter)
     msda_mode: "str | None" = None
     msda_band_radius: int = 6
+    # query-tile cap for "banded" (speed only, never exactness; 512 measured
+    # best — larger tiles exceed the fused-dot VMEM budget, PERF.md round 3)
+    msda_band_tile_queries: int = 512
 
 
 def _reference_points(spatial_shapes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
@@ -70,6 +73,7 @@ class _EncoderLayer(nn.Module):
             dtype=self.cfg.dtype,
             msda_mode=self.cfg.msda_mode,
             band_radius=self.cfg.msda_band_radius,
+            band_tile_queries=self.cfg.msda_band_tile_queries,
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.dtype, name="norm1")(src + attn)

@@ -69,6 +69,7 @@ def ms_deform_attn(
     attention_weights: jnp.ndarray,
     mode: Optional[str] = None,
     band_radius: int = 6,
+    band_tile_queries: int = 512,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention sampling.
 
@@ -91,6 +92,11 @@ def ms_deform_attn(
         "banded" mode guarantees to cover (offsets are predicted in per-level
         pixel units, attention.py:_sampling_offset_bias_init caps the init at
         n_points pixels).
+      band_tile_queries: query-tile size cap for "banded". Never affects
+        exactness, only speed. Larger tiles amortize the 2*radius+2 band
+        overhead over more query rows but grow the fused-dot LHS tile past
+        the VMEM budget: measured 512 -> 26.35 img/s vs 2048 -> 22.96 on the
+        stage-3 bench (PERF.md round 3), so 512 stays the default.
 
     Returns:
       (B, Lq, M * D).
@@ -108,7 +114,7 @@ def ms_deform_attn(
     if mode == "banded":
         return _ms_deform_attn_banded(
             value, spatial_shapes, sampling_locations, attention_weights,
-            band_radius)
+            band_radius, band_tile_queries)
     if mode == "pallas_folded":
         return _ms_deform_attn_pallas_folded(
             value, spatial_shapes, sampling_locations, attention_weights)
@@ -271,6 +277,7 @@ def _ms_deform_attn_banded(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     radius: int,
+    tile_queries: int = 512,
 ) -> jnp.ndarray:
     """Banded-hat MXU formulation for encoder self-attention (Lq == S).
 
@@ -293,7 +300,8 @@ def _ms_deform_attn_banded(
             f"banded mode requires queries == pixels (Lq {lq} != S {s}); "
             "use onehot_mxu for decoder-style queries")
     dtype = value.dtype
-    plan = _band_geometry(tuple(spatial_shapes), int(radius))
+    plan = _band_geometry(tuple(spatial_shapes), int(radius),
+                          int(tile_queries))
 
     val = value.transpose(0, 2, 1, 3)  # (B, M, S, D)
     loc = sampling_locations.transpose(0, 2, 1, 4, 3, 5)  # (B, M, Lq, P, L, 2)
@@ -363,6 +371,7 @@ def msda_band_oob_fraction(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     radius: int = 6,
+    tile_queries: int = 512,
 ) -> jnp.ndarray:
     """Fraction of attention mass whose taps fall OUTSIDE the banded-mode
     coverage window (the runtime counter for the banded kernel's locality
@@ -377,7 +386,8 @@ def msda_band_oob_fraction(
     s = sum(h * w for h, w in spatial_shapes)
     if lq != s:
         raise ValueError("oob counter requires queries == pixels (Lq == S)")
-    plan = _band_geometry(tuple(spatial_shapes), int(radius))
+    plan = _band_geometry(tuple(spatial_shapes), int(radius),
+                          int(tile_queries))
 
     total = jnp.sum(attention_weights.astype(jnp.float32))
     oob = jnp.zeros((), jnp.float32)

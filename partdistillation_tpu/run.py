@@ -52,8 +52,23 @@ def _tiny_swin():
                       window_size=4, drop_path_rate=0.0)
 
 
+def _msda(args) -> dict:
+    """--msda-mode/--msda-band-radius CLI knobs -> PixelDecoderConfig kwargs.
+
+    mode "banded" is the measured-fastest sampling core when offsets are
+    frozen/trained in-band (PERF.md round 3); report msda_band_oob_fraction
+    when enabling it on converted weights."""
+    kw = {}
+    if getattr(args, "msda_mode", None):
+        kw["msda_mode"] = args.msda_mode
+    if getattr(args, "msda_band_radius", None) is not None:
+        kw["msda_band_radius"] = args.msda_band_radius
+    return kw
+
+
 def _segmenter_cfg(tiny: bool, num_classes: int, num_queries: int,
-                   num_object_classes: int = 0, num_parts: int = 8):
+                   num_object_classes: int = 0, num_parts: int = 8,
+                   msda: dict = {}):
     from .models.pixel_decoder import PixelDecoderConfig
     from .models.segmenter import SegmenterConfig
     from .models.swin import swin_large_config
@@ -65,7 +80,7 @@ def _segmenter_cfg(tiny: bool, num_classes: int, num_queries: int,
             pixel_decoder=PixelDecoderConfig(conv_dim=32, mask_dim=32,
                                              transformer_layers=1,
                                              transformer_ffn_dim=64, n_heads=4,
-                                             n_points=2),
+                                             n_points=2, **msda),
             decoder=TransformerDecoderConfig(
                 num_classes=num_classes, hidden_dim=32, num_queries=num_queries,
                 num_heads=4, dim_feedforward=64, dec_layers=2, mask_dim=32,
@@ -73,7 +88,7 @@ def _segmenter_cfg(tiny: bool, num_classes: int, num_queries: int,
         )
     return SegmenterConfig(
         swin=swin_large_config(),
-        pixel_decoder=PixelDecoderConfig(),
+        pixel_decoder=PixelDecoderConfig(**msda),
         decoder=TransformerDecoderConfig(
             num_classes=num_classes, num_queries=num_queries, dec_layers=9,
             num_object_classes=num_object_classes, num_parts=num_parts),
@@ -388,7 +403,7 @@ def cmd_detect(args):
     items = _imagenet_items(cfg, args)
     shard, num_shards = _shard_id(args)
 
-    seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
+    seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=1, num_queries=args.num_queries)
     model_cfg = ProposalModelConfig(
         segmenter=seg, test_topk=min(args.proposals, args.num_queries))
     model = MaskFormerSegmenter(seg)
@@ -447,7 +462,7 @@ def cmd_eval_detect(args):
     from .models.segmenter import MaskFormerSegmenter
 
     ds = _load_eval_items(cfg, args)
-    seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
+    seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=1, num_queries=args.num_queries)
     model_cfg = ProposalModelConfig(
         segmenter=seg, test_topk=min(args.topk, args.num_queries))
     model = MaskFormerSegmenter(seg)
@@ -741,7 +756,7 @@ def cmd_train_proposal(args):
                                          else cfg.paths.proposals)
     logger.info("stage 3: %d train items on this host", len(items))
 
-    seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
+    seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=1, num_queries=args.num_queries)
     n_pts = 1024 if args.tiny else 12544
     model_cfg = ProposalModelConfig(
         segmenter=seg,
@@ -811,7 +826,7 @@ def cmd_train_distillation(args):
     logger.info("stage 5: %d train items on this host", len(items))
 
     num_obj = args.num_object_classes
-    seg = _segmenter_cfg(args.tiny, num_classes=args.num_parts,
+    seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=args.num_parts,
                          num_queries=args.num_queries,
                          num_object_classes=num_obj, num_parts=args.num_parts)
     n_pts = 1024 if args.tiny else 12544
@@ -921,7 +936,7 @@ def cmd_eval_proposal(args):
     from .models.segmenter import MaskFormerSegmenter
 
     ds = _load_eval_items(cfg, args)
-    seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
+    seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=1, num_queries=args.num_queries)
     model_cfg = ProposalModelConfig(
         segmenter=seg, test_topk=min(args.topk, args.num_queries),
         use_unique_per_pixel_label=not args.no_unique_assignment)
@@ -1012,7 +1027,7 @@ def cmd_rank(args):
     logger.info("stage 4: %d items, %d object classes, phases=%s, dataset=%s",
                 len(items), num_obj, phases, eval_dataset)
 
-    seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
+    seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=1, num_queries=args.num_queries)
     rank_cfg = PartRankingConfig(segmenter=seg, num_clusters=args.num_clusters,
                                  test_topk=args.num_queries)
     model = MaskFormerSegmenter(seg)
@@ -1195,7 +1210,7 @@ def _distill_setup(cfg, args):
     from .models.segmenter import MaskFormerSegmenter
 
     num_obj = args.num_object_classes
-    seg = _segmenter_cfg(args.tiny, num_classes=args.num_parts,
+    seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=args.num_parts,
                          num_queries=args.num_queries,
                          num_object_classes=num_obj, num_parts=args.num_parts)
     model_cfg = PartDistillationConfig(
@@ -1400,7 +1415,7 @@ def _supervised_setup(cfg, args, require_weights: bool = False):
     n_cls = (args.num_part_classes if ds["name"] == "part_imagenet"
              else ds["n_gt_parts"])
     train_classes = 1 if args.class_agnostic else n_cls
-    seg = _segmenter_cfg(args.tiny, num_classes=train_classes,
+    seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=train_classes,
                          num_queries=args.num_queries)
     # Architecture switches (the reference's PIXEL_DECODER_NAME /
     # TRANSFORMER_DECODER_NAME registry dispatch): select the FPN pixel
@@ -1690,7 +1705,7 @@ def cmd_profile(args):
     from .models.segmenter import MaskFormerSegmenter
     from .utils.profiling import summarize_trace, trace_steps
 
-    seg = _segmenter_cfg(args.tiny, num_classes=1, num_queries=args.num_queries)
+    seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=1, num_queries=args.num_queries)
     n_pts = 1024 if args.tiny else 12544
     model_cfg = ProposalModelConfig(
         segmenter=seg,
@@ -1791,6 +1806,14 @@ def _add_common(p):
     p.add_argument("--allow-random-init", action="store_true",
                    help="let eval/inference commands run with freshly-"
                         "initialized weights (smoke tests only)")
+    p.add_argument("--msda-mode", default=None,
+                   choices=["onehot_mxu", "take", "banded", "pallas_folded"],
+                   help="deformable-attention sampling core (default: backend "
+                        "auto). 'banded' is fastest when the encoder is frozen "
+                        "or offsets are measured in-band "
+                        "(ops/ms_deform_attn.msda_band_oob_fraction)")
+    p.add_argument("--msda-band-radius", type=int, default=None,
+                   help="vertical tap radius for --msda-mode banded (default 6)")
 
 
 def _add_eval_dataset(p):

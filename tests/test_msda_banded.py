@@ -18,6 +18,10 @@ from partdistillation_tpu.ops.ms_deform_attn import (
 )
 
 SHAPES = ((8, 8), (16, 16), (32, 32))  # res5-first, like the pixel decoder
+# tile cap pinned small: at this tiny geometry the production default
+# would cover whole levels and fall back to the dense path, making the
+# banding tests vacuous
+TQ = 128
 
 
 def _grid_refs(shapes):
@@ -48,7 +52,7 @@ def _case(max_off_px=1.0, b=2, m=2, p=3, d=8, seed=0):
 
 
 def test_band_geometry_banding_kicks_in():
-    plan = _band_geometry(SHAPES, radius=2)
+    plan = _band_geometry(SHAPES, radius=2, tile_queries=TQ)
     # the largest level banded against itself must get a real win
     geom = plan[(2, 2)]
     assert geom is not None
@@ -62,10 +66,10 @@ def test_banded_matches_dense_within_radius():
     value, loc, attw = _case(max_off_px=1.0)
     dense = ms_deform_attn(value, SHAPES, loc, attw, mode="onehot_mxu")
     banded = ms_deform_attn(value, SHAPES, loc, attw, mode="banded",
-                            band_radius=2)
+                            band_radius=2, band_tile_queries=TQ)
     np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
                                atol=1e-5, rtol=1e-5)
-    frac = msda_band_oob_fraction(SHAPES, loc, attw, radius=2)
+    frac = msda_band_oob_fraction(SHAPES, loc, attw, radius=2, tile_queries=TQ)
     assert float(frac) == 0.0
 
 
@@ -75,7 +79,7 @@ def test_banded_at_offset_init_radius():
     value, loc, attw = _case(max_off_px=3.0, p=3, seed=1)
     dense = ms_deform_attn(value, SHAPES, loc, attw, mode="take")
     banded = ms_deform_attn(value, SHAPES, loc, attw, mode="banded",
-                            band_radius=4)
+                            band_radius=4, band_tile_queries=TQ)
     np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
                                atol=1e-5, rtol=1e-5)
 
@@ -84,11 +88,12 @@ def test_oob_counter_flags_escaped_taps():
     value, loc, attw = _case(max_off_px=1.0, seed=2)
     # push one query's y taps 10 rows away at the largest level
     loc = loc.at[:, -1024:, :, 2, :, 1].add(10.0 / 32.0)
-    frac = float(msda_band_oob_fraction(SHAPES, loc, attw, radius=2))
+    frac = float(msda_band_oob_fraction(SHAPES, loc, attw, radius=2,
+                                        tile_queries=TQ))
     assert frac > 0.0
     dense = ms_deform_attn(value, SHAPES, loc, attw, mode="onehot_mxu")
     banded = ms_deform_attn(value, SHAPES, loc, attw, mode="banded",
-                            band_radius=2)
+                            band_radius=2, band_tile_queries=TQ)
     # the escaped taps are exactly the divergence
     assert not np.allclose(np.asarray(banded), np.asarray(dense), atol=1e-4)
 
@@ -99,7 +104,8 @@ def test_banded_gradients_match_dense():
     def loss(mode):
         def f(v, l, a):
             return jnp.sum(
-                ms_deform_attn(v, SHAPES, l, a, mode=mode, band_radius=2) ** 2)
+                ms_deform_attn(v, SHAPES, l, a, mode=mode, band_radius=2,
+                               band_tile_queries=TQ) ** 2)
         return f
 
     gd = jax.grad(loss("onehot_mxu"), argnums=(0, 1, 2))(value, loc, attw)
@@ -113,3 +119,17 @@ def test_banded_rejects_decoder_queries():
     value, loc, attw = _case()
     with pytest.raises(ValueError, match="queries == pixels"):
         ms_deform_attn(value, SHAPES, loc[:, :10], attw[:, :10], mode="banded")
+
+
+def test_band_geometry_default_cap_engages_at_production_geometry():
+    """The production default tile cap (2048) must still band the 640^2
+    pixel-decoder geometry (80/40/20 levels) — a regression guard for the
+    tile-size default (see PERF.md round-3 banded-tiling notes)."""
+    shapes = ((80, 80), (40, 40), (20, 20))
+    plan = _band_geometry(shapes, radius=6)
+    geom = plan[(0, 0)]  # largest level vs itself: the dominant cost pair
+    assert geom is not None
+    tq, band_rows, starts = geom
+    assert tq * 80 <= 512 and 80 % tq == 0
+    # the per-query build cost must beat the dense hat build by >= 2x
+    assert band_rows * 80 / tq < 80 * 80 / 2

@@ -36,7 +36,9 @@ def main():
     paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
     agg = collections.Counter()
     op_agg = collections.Counter()
+    async_agg = collections.Counter()
     total = 0
+    async_total = 0
     for p in paths:
         xs = xplane_pb2.XSpace()
         xs.ParseFromString(open(p, "rb").read())
@@ -46,12 +48,19 @@ def main():
             stat_names = {m.id: m.name for m in plane.stat_metadata.values()}
             ev_names = {m.id: m.name for m in plane.event_metadata.values()}
             for line in plane.lines:
-                if "XLA Ops" not in line.name and "xla" not in line.name.lower():
+                # ONLY the sync "XLA Ops" line: "XLA Modules" double-counts
+                # whole-step spans and "Async XLA Ops" (copy-start /
+                # slice-start DMAs) overlap compute — aggregate async
+                # separately so the two are never summed together
+                if line.name not in ("XLA Ops", "Async XLA Ops"):
                     continue
+                is_async = line.name == "Async XLA Ops"
                 for ev in line.events:
                     dur = ev.duration_ps / 1e12
                     name = ev_names.get(ev.metadata_id, "?")
-                    if "copy-start" in name and "prefetch" in name:
+                    if is_async:
+                        async_agg[name.split(".")[0].rstrip("0123456789")] += dur
+                        async_total += dur
                         continue
                     src = ""
                     for st in ev.stats:
@@ -60,13 +69,17 @@ def main():
                     agg[src or "<nosource>"] += dur
                     op_agg[name.split(".")[0]] += dur
                     total += dur
-    print(f"total device time over 3 steps: {total*1e3:.1f} ms "
-          f"({total/3*1e3:.1f} ms/step)")
+    print(f"sync device time over 3 steps: {total*1e3:.1f} ms "
+          f"({total/3*1e3:.1f} ms/step); async DMA (overlapped) "
+          f"{async_total/3*1e3:.1f} ms/step")
     print("\n--- by source (top 25) ---")
     for src, t in agg.most_common(25):
         print(f"{t/3*1e3:9.2f} ms/step  {src[:110]}")
-    print("\n--- by op kind (top 20) ---")
+    print("\n--- by op kind (top 20, sync) ---")
     for name, t in op_agg.most_common(20):
+        print(f"{t/3*1e3:9.2f} ms/step  {name[:80]}")
+    print("\n--- async DMA (top 10, overlaps compute) ---")
+    for name, t in async_agg.most_common(10):
         print(f"{t/3*1e3:9.2f} ms/step  {name[:80]}")
 
 

@@ -95,7 +95,9 @@ def main():
             stat_names = {m.id: m.name for m in plane.stat_metadata.values()}
             ev_names = {m.id: m.name for m in plane.event_metadata.values()}
             for line in plane.lines:
-                if "XLA Ops" not in line.name and "xla" not in line.name.lower():
+                # sync ops only: "XLA Modules" double-counts whole-step spans
+                # and "Async XLA Ops" DMAs overlap compute (see profile_bench)
+                if line.name != "XLA Ops":
                     continue
                 for ev in line.events:
                     dur = ev.duration_ps / 1e12

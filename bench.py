@@ -59,8 +59,12 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
         # out-of-band attention mass 0.0 (tools/msda_offset_hist.py, PERF.md)
         pixel_decoder=PixelDecoderConfig(
             dtype=dtype, msda_mode="banded",
-            # BENCH_BAND_RADIUS / BENCH_BAND_TQ: A/B knobs (PERF.md round 3)
-            msda_band_radius=int(os.environ.get("BENCH_BAND_RADIUS", "6")),
+            # radius 4 is exact for the frozen-encoder launch config: init
+            # offsets cap at exactly n_points=4 level px and cannot move;
+            # measured oob mass 0.0 (PERF.md round-3 radius table). The
+            # library default stays 6 (margin for unfrozen fine-tuning).
+            # BENCH_BAND_RADIUS / BENCH_BAND_TQ: A/B knobs.
+            msda_band_radius=int(os.environ.get("BENCH_BAND_RADIUS", "4")),
             msda_band_tile_queries=int(os.environ.get("BENCH_BAND_TQ", "512"))),
         decoder=TransformerDecoderConfig(num_classes=1, num_queries=200, dec_layers=9,
                                          dtype=dtype),

@@ -207,8 +207,10 @@ def bench_stage4(batch_size: int = 8, image_size: int = 640, iters: int = 8,
         swin=swin_large_config(dtype=dtype),
         # banded MSDA is exact here: ranking runs the FROZEN stage-3
         # checkpoint (eval-only), so sampling offsets are fixed at their
-        # trained values (measured in-band, tools/msda_offset_hist.py)
-        pixel_decoder=PixelDecoderConfig(dtype=dtype, msda_mode="banded"),
+        # trained values (measured in-band at radius 4,
+        # tools/msda_offset_hist.py; PERF.md round-3 radius table)
+        pixel_decoder=PixelDecoderConfig(dtype=dtype, msda_mode="banded",
+                                         msda_band_radius=4),
         decoder=TransformerDecoderConfig(num_classes=1, num_queries=200,
                                          dec_layers=9, dtype=dtype),
     )
@@ -318,8 +320,10 @@ def bench_stage5(batch_size: int = 8, image_size: int = 640,
     seg = SegmenterConfig(
         swin=swin_large_config(dtype=dtype),
         # banded MSDA is exact here: the stage-5 launch config freezes
-        # backbone+encoder (train.sh:8), so offsets never move
-        pixel_decoder=PixelDecoderConfig(dtype=dtype, msda_mode="banded"),
+        # backbone+encoder (train.sh:8), so offsets never move (radius 4
+        # covers the init cap exactly — PERF.md round-3 radius table)
+        pixel_decoder=PixelDecoderConfig(dtype=dtype, msda_mode="banded",
+                                         msda_band_radius=4),
         decoder=TransformerDecoderConfig(
             num_classes=num_parts, num_queries=200, dec_layers=9, dtype=dtype,
             num_object_classes=num_object_classes, num_parts=num_parts),

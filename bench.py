@@ -145,8 +145,8 @@ def main():
             "error": f"TPU backend unavailable: {err}"}))
         sys.exit(1)
     # bs 16 fills the v5e better than the reference's 8/GPU (+12% measured);
-    # halves on OOM below
-    target_batch = 16
+    # halves on OOM below. BENCH_BS: A/B override.
+    target_batch = int(os.environ.get("BENCH_BS", "16"))
     batch_size = target_batch
     while batch_size >= 1:
         try:

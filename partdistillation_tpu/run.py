@@ -594,7 +594,8 @@ def cmd_dcrf(args):
     logger.info("stage 2b dCRF: %d images", len(items))
 
     params = DenseCRFParams(gt_prob=args.gt_prob, iters=args.iters,
-                            bilateral_sxy=args.bilateral_sxy)
+                            bilateral_sxy=args.bilateral_sxy,
+                            bilateral_stride=args.bilateral_stride)
     capacity = cfg.data.mask_capacity
 
     def refine(image, masks, valid):
@@ -1872,6 +1873,9 @@ def build_parser():
     p.add_argument("--gt-prob", type=float, default=0.7)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--bilateral-sxy", type=float, default=20.0)
+    p.add_argument("--bilateral-stride", type=int, default=None,
+                   help="window-grid cell size in px (default sxy/2.5; "
+                        "smaller = finer/slower — ops/dense_crf.py)")
     p.set_defaults(fn=cmd_dcrf)
 
     p = sub.add_parser("train-proposal", help="stage 3: proposal learning")

@@ -69,7 +69,9 @@ def summarize_trace(trace_dir: str, steps: int = 3,
             ev_names = {m.id: m.name for m in plane.event_metadata.values()}
             if "TPU" in plane.name:
                 for ln in plane.lines:
-                    if "XLA Ops" not in ln.name:
+                    # sync ops only: "Async XLA Ops" DMAs overlap compute and
+                    # would double-count against the step wall time
+                    if ln.name != "XLA Ops":
                         continue
                     for ev in ln.events:
                         agg[ev_names.get(ev.metadata_id, "?")] += (

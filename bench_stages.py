@@ -70,6 +70,92 @@ def bench_stage2(batch_size: int = 8, image_size: int = 640, iters: int = 8):
     }))
 
 
+def bench_stage1(batch_size: int = 8, image_size: int = 640, topk: int = 10,
+                 iters: int = 8, vocab: int = 1000, dtype=jnp.bfloat16):
+    """Stage-1 detection from pixels: segmenter top-k object proposals +
+    CLIP ViT-B/32 region scoring (the `detect` CLI's compute path,
+    models/meta_arch/labeling.py), the reference's Detic labeling workload
+    (labeling_detic.py:25-119, 60 jobs x 8 V100, batch 2/GPU,
+    sh_files/detic/run.sh:10-31).
+
+    Reports the combined images/sec of the serial detector -> region-scorer
+    chain. Baseline: Detic SwinB at batch 2/GPU with the CLIP text head —
+    ~3 img/s/V100 (generous, same spirit as the other stage estimates).
+    CLIP weights are randomly initialized at the true ViT-B/32 geometry
+    (identical FLOPs; the bench needs no checkpoint download)."""
+    from partdistillation_tpu.models.clip_vit import (CLIPVisionTower,
+                                                      CLIPVisionTowerConfig)
+    from partdistillation_tpu.models.meta_arch.labeling import (
+        clip_region_scorer_jax, make_proposal_detection_fn)
+    from partdistillation_tpu.models.meta_arch.proposal import (
+        ProposalModelConfig, normalize_images)
+    from partdistillation_tpu.models.pixel_decoder import PixelDecoderConfig
+    from partdistillation_tpu.models.segmenter import (MaskFormerSegmenter,
+                                                       SegmenterConfig)
+    from partdistillation_tpu.models.swin import swin_large_config
+    from partdistillation_tpu.models.transformer_decoder import (
+        TransformerDecoderConfig)
+
+    seg = SegmenterConfig(
+        swin=swin_large_config(dtype=dtype),
+        # banded r4 exact: detect runs frozen converted/trained weights
+        pixel_decoder=PixelDecoderConfig(dtype=dtype, msda_mode="banded",
+                                         msda_band_radius=4),
+        decoder=TransformerDecoderConfig(num_classes=1, num_queries=200,
+                                         dec_layers=9, dtype=dtype),
+    )
+    model_cfg = ProposalModelConfig(segmenter=seg, test_topk=topk)
+    model = MaskFormerSegmenter(seg)
+    rng = np.random.RandomState(0)
+    images_np = rng.randint(0, 255, (batch_size, image_size, image_size, 3)
+                            ).astype(np.uint8)
+    images = jnp.asarray(images_np, jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), normalize_images(images[:1]))
+    detection_fn = jax.jit(make_proposal_detection_fn(model_cfg))
+
+    det = detection_fn(params, images)
+    _sync(det["scores"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        det = detection_fn(params, images)
+    _sync(det["scores"])
+    ips_det = batch_size * iters / (time.perf_counter() - t0)
+
+    # CLIP ViT-B/32 region scorer at true geometry, random init
+    ccfg = CLIPVisionTowerConfig(dtype=dtype)
+    tower = CLIPVisionTower(ccfg)
+    cparams = jax.jit(tower.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, ccfg.image_size, ccfg.image_size, 3)))
+    temb = rng.randn(vocab, ccfg.projection_dim).astype(np.float32)
+    temb /= np.linalg.norm(temb, axis=-1, keepdims=True)
+    scorer = clip_region_scorer_jax(
+        tower.apply, temb, crop_size=ccfg.image_size, capacity=16,
+        vision_params=cparams, crop_backend="device")
+
+    # pass DEVICE-resident image/masks (the detection outputs): re-uploading
+    # per region call costs ~315 ms/image over the axon tunnel (~15 MB/s
+    # host->device — a tunnel artifact, not TPU PCIe), which is exactly what
+    # a fused stage-1 avoids; empty masks fall back to full-image crops via
+    # the device path's bbox guard
+    masks_dev = det["masks"]
+    scorer(images[0], masks_dev[0])   # warm the jit
+    t0 = time.perf_counter()
+    for b in range(batch_size):
+        scorer(images[b], masks_dev[b])
+    ips_clip = batch_size / (time.perf_counter() - t0)
+
+    ips = 1.0 / (1.0 / ips_det + 1.0 / ips_clip)
+    print(json.dumps({
+        "metric": "stage1_detect_images_per_sec_per_chip",
+        "value": round(ips, 3),
+        "unit": ("images/sec/chip (detector "
+                 f"{ips_det:.1f} + {topk}-region CLIP scoring {ips_clip:.1f}, "
+                 "serial)"),
+        "vs_baseline": round(ips / 3.0, 3),
+    }))
+
+
 def bench_dcrf(batch_size: int = 8, image_size: int = 640, capacity: int = 8,
                crf_iters: int = 10, iters: int = 5):
     from partdistillation_tpu.ops.dense_crf import (DenseCRFParams, dense_crf,
@@ -403,9 +489,14 @@ def bench_stage5(batch_size: int = 8, image_size: int = 640,
 if __name__ == "__main__":
     import sys
 
-    stages = sys.argv[1:] or ["loader", "2", "2b", "4", "5"]
+    # "5" intentionally last AND safe alone: the stage-5 program run second
+    # in one process crashes the remote TPU worker (PERF.md round 3) —
+    # prefer `python bench_stages.py 5` in its own process
+    stages = sys.argv[1:] or ["loader", "1", "2", "2b", "4", "5"]
     if "loader" in stages:
         bench_loader()
+    if "1" in stages:
+        bench_stage1()
     if "2" in stages:
         bench_stage2()
     if "2b" in stages:

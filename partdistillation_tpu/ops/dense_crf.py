@@ -17,7 +17,7 @@ TPU mapping of the two message passes:
     convolution — pure VPU work, fused by XLA.
   * Bilateral kernel (sxy ~ 20px, srgb ~ 13): a **windowed convolution at
     reduced resolution** (``bilateral_filter_conv``, the default): area-mean
-    downsample by ~sxy/2.5, exact truncated Gaussian window over cell offsets
+    downsample by ~sxy/5, exact truncated Gaussian window over cell offsets
     (x-offsets vectorized as static patches, y-offsets a lax.scan), bilinear
     upsample. The image-dependent window weights are built ONCE per image and
     reused across mean-field iterations. Everything is static slices + small
@@ -25,10 +25,11 @@ TPU mapping of the two message passes:
     Rationale: arbitrary gather/scatter runs ~100x off HBM speed-of-light on
     TPU (SMEM index staging), so any lattice/grid method is bandwidth-doomed;
     meanwhile the reference's permutohedral lattice itself quantizes the
-    spatial axes at ~sxy spacing, so a conv approximation on a sxy/2.5 grid
-    with a 2.5-sigma window is a *finer* discretization of the same kernel
-    (measured: 98.3% label agreement vs the stride-1 solver at 256^2; the
-    exact-golden parity tests hold at every stride in {2..12}).
+    spatial axes at ~sxy spacing, so a conv approximation on a sxy/5 grid
+    with a 2.5-sigma window is a *finer* discretization of the same kernel.
+    Coarser grids (DenseCRFParams.bilateral_stride) trade quality for
+    ~stride^4 less work — see the measured agreement table on the config
+    field; the exact-golden multilabel test pins the default.
     A 5-D bilateral grid (``bilateral_filter``) is kept as the exact-color
     fallback; both are verified against brute-force bilateral filtering in
     tests/test_dense_crf.py.
@@ -64,11 +65,13 @@ class DenseCRFParams:
     # "conv" = windowed conv at reduced resolution (TPU-fast, default);
     # "grid" = 5-D bilateral grid (gather-bound, exact color resolution)
     bilateral_impl: str = "conv"
-    # window-grid cell size in pixels for "conv"; None = sxy/2.5 (2.5 cells
-    # per spatial sigma — still 2.5x finer than pydensecrf's permutohedral
-    # lattice at ~1 cell/sigma; measured 98.3% label agreement / >=0.95
-    # per-label IoU vs the stride-1 near-exact solver on a 256^2 multi-part
-    # scene, tests/test_dcrf_golden.py parity holds). Smaller = finer.
+    # window-grid cell size in pixels for "conv"; None = sxy/5 (5 cells per
+    # spatial sigma). Larger strides are measurably cheaper (work ~stride^-4)
+    # but UNSAFE when part width ~ 4 strides: on the exact-golden multilabel
+    # scene (16 px parts, sxy 20) agreement vs exact mean-field is 0.991 at
+    # stride 4 but 0.852 at stride 5 and 0.764 at stride 8; on a 256^2 scene
+    # with ~80 px parts stride 8 still agrees 0.983. Override only when the
+    # smallest structure of interest spans >= ~6 strides.
     bilateral_stride: int | None = None
 
 
@@ -198,7 +201,7 @@ def _bilateral_conv_setup(image: jnp.ndarray, sxy: float, srgb: float,
     (ky, hl, wl, kx) and geom the static geometry tuple for apply."""
     h, w, _ = image.shape
     if stride is None:
-        stride = max(1, int(round(sxy / 2.5)))
+        stride = max(1, int(round(sxy / 5.0)))
     ph, pw = (-h) % stride, (-w) % stride
     if ph or pw:
         image = jnp.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")

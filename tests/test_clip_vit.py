@@ -137,3 +137,43 @@ def test_scorer_tpu_end_to_end_with_converted_tower():
     want_probs = (e / e.sum(-1, keepdims=True))
     np.testing.assert_array_equal(ids, want_probs.argmax(-1))
     np.testing.assert_allclose(probs, want_probs.max(-1), atol=1e-3)
+
+
+def test_region_scorer_device_crops_match_host():
+    """crop_backend="device" (on-device bbox + scale_and_translate — the
+    production default in clip_region_scorer_tpu) agrees with the host PIL
+    crop path: same argmax class on well-separated regions, close probs.
+    The host path stays the bit-exact torch-preprocessing oracle."""
+    from partdistillation_tpu.models.meta_arch.labeling import (
+        clip_region_scorer_jax)
+
+    proj_dim, n_classes = 8, 5
+    rng = np.random.RandomState(3)
+    text = rng.randn(n_classes, proj_dim).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    w = rng.randn(3, proj_dim).astype(np.float32) * 0.05
+
+    def vision_apply(px):  # deterministic fake tower
+        pooled = jnp.mean(px, axis=(1, 2))
+        return pooled @ jnp.asarray(w)
+
+    host = clip_region_scorer_jax(vision_apply, text, crop_size=16,
+                                  capacity=4, crop_backend="host")
+    dev = clip_region_scorer_jax(vision_apply, text, crop_size=16,
+                                 capacity=4, crop_backend="device")
+
+    # strongly-colored distinct regions so the class decision is not a
+    # resize-roundoff coin flip
+    image = np.zeros((48, 48, 3), np.uint8)
+    image[4:20, 4:20] = [250, 10, 10]
+    image[26:44, 8:40] = [10, 10, 250]
+    image[10:40, 30:46] = [10, 250, 10]
+    masks = np.zeros((3, 48, 48), bool)
+    masks[0, 4:20, 4:20] = True
+    masks[1, 26:44, 8:40] = True
+    masks[2, 10:40, 30:46] = True
+
+    ids_h, probs_h = host(image, masks)
+    ids_d, probs_d = dev(image, masks)
+    np.testing.assert_array_equal(ids_h, ids_d)
+    np.testing.assert_allclose(probs_h, probs_d, atol=2e-2)

@@ -231,7 +231,12 @@ def _bilateral_conv_setup(image: jnp.ndarray, sxy: float, srgb: float,
 
 def _bilateral_conv_apply(values: jnp.ndarray, wgt: jnp.ndarray,
                           geom) -> jnp.ndarray:
-    """Apply precomputed bilateral window weights to (H,W,C) values."""
+    """Apply precomputed bilateral window weights to (H,W,C) values.
+
+    The x-window is contracted as 2r+1 STATIC shifted fused multiply-adds of
+    the row slab — no (hl, wl, kx, c) patch tensor is ever materialized.
+    The patch formulation profiled at ~2/3 of the whole CRF: a ~200 MB
+    dynamic-slice + an equal layout copy per scan step at 640² geometry."""
     h, w, hl, wl, stride, r = geom
     c = values.shape[-1]
     kx = 2 * r + 1
@@ -242,12 +247,15 @@ def _bilateral_conv_apply(values: jnp.ndarray, wgt: jnp.ndarray,
               if stride > 1 else values)
     # zero-padding val_lo zeroes out-of-bounds contributions outright, so no
     # validity mask is needed (the message is unnormalized)
-    pq = jnp.pad(_xpatches(val_lo, r), ((r, r), (0, 0), (0, 0), (0, 0)))
+    pv = jnp.pad(val_lo, ((r, r), (r, r), (0, 0)))
 
     def body(acc, inp):
-        dy, wy = inp
-        qs = jax.lax.dynamic_slice(pq, (r + dy, 0, 0, 0), (hl, wl, kx, c))
-        return acc + jnp.einsum("hwk,hwkc->hwc", wy, qs), None
+        dy, wy = inp  # wy: (hl, wl, kx)
+        rows = jax.lax.dynamic_slice(pv, (r + dy, 0, 0), (hl, wl + 2 * r, c))
+        s = wy[:, :, 0, None] * rows[:, :wl]
+        for dx in range(1, kx):  # static shifts — fuse, never materialize
+            s = s + wy[:, :, dx, None] * rows[:, dx : dx + wl]
+        return acc + s, None
 
     acc0 = jnp.zeros((hl, wl, c), values.dtype)
     msg, _ = jax.lax.scan(body, acc0, (jnp.arange(-r, r + 1), wgt))

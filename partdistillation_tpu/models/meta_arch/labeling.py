@@ -450,39 +450,114 @@ def run_labeling(
             n_skipped += 1
             continue
         det = detector(item)
-        if det is None or len(det["scores"]) == 0:
-            n_empty += 1
-            continue
-        scores = np.asarray(det["scores"], np.float32)
-        class_ids = np.asarray(det["class_ids"], np.int32)
-        target = int(item.get("class_id", -1))
-
-        # threshold BEFORE the class-match/fallback decision, matching the
-        # jit selection core (select_class_matched_topk): a below-threshold
-        # matched detection must not suppress the keep-all fallback
-        valid = scores >= cfg.score_threshold
-        if cfg.match_classes:
-            matched = valid & (class_ids == target)
-            pool = matched if matched.any() else valid
+        if _save_detection(det, item, writer, cfg, rle_codec):
+            n_saved += 1
         else:
-            pool = valid
-        if not pool.any():
             n_empty += 1
-            continue
-        ranked = np.where(pool, scores, -np.inf)
-        order = np.argsort(-ranked)[: cfg.topk]
-        order = order[ranked[order] > -np.inf]
+    writer.flush()
+    return {"saved": n_saved, "skipped": n_skipped, "empty": n_empty}
 
-        names = det.get("pred_names")
-        record = {
-            "image_id": item["image_id"],
-            "object_masks": [rle_codec.encode(det["masks"][i]) for i in order],
-            "scores": [float(scores[i]) for i in order],
-            "pred_classes": [int(class_ids[i]) for i in order],
-            "pred_names": [names[i] for i in order] if names else None,
-            "class_code": item.get("class_code"),
-        }
-        writer.write(record)
-        n_saved += 1
+
+def _save_detection(det, item, writer, cfg, rle_codec) -> bool:
+    """Class-match + top-k + RLE-save one image's detections; False = empty."""
+    if det is None or len(det["scores"]) == 0:
+        return False
+    scores = np.asarray(det["scores"], np.float32)
+    class_ids = np.asarray(det["class_ids"], np.int32)
+    target = int(item.get("class_id", -1))
+
+    # threshold BEFORE the class-match/fallback decision, matching the
+    # jit selection core (select_class_matched_topk): a below-threshold
+    # matched detection must not suppress the keep-all fallback
+    valid = scores >= cfg.score_threshold
+    if cfg.match_classes:
+        matched = valid & (class_ids == target)
+        pool = matched if matched.any() else valid
+    else:
+        pool = valid
+    if not pool.any():
+        return False
+    ranked = np.where(pool, scores, -np.inf)
+    order = np.argsort(-ranked)[: cfg.topk]
+    order = order[ranked[order] > -np.inf]
+
+    names = det.get("pred_names")
+    writer.write({
+        "image_id": item["image_id"],
+        "object_masks": [rle_codec.encode(det["masks"][i]) for i in order],
+        "scores": [float(scores[i]) for i in order],
+        "pred_classes": [int(class_ids[i]) for i in order],
+        "pred_names": [names[i] for i in order] if names else None,
+        "class_code": item.get("class_code"),
+    })
+    return True
+
+
+def run_labeling_batched(
+    detection_fn,
+    params,
+    items,
+    writer,
+    cfg: LabelingConfig = LabelingConfig(),
+    region_scorer: Optional[Callable] = None,
+    image_size: int = 640,
+    batch_size: int = 8,
+    num_workers: int = 4,
+) -> Dict[str, int]:
+    """Stage-1 host loop with the segmenter forward BATCHED over
+    ``batch_size`` images (one jit dispatch per batch instead of per image —
+    the per-image path measured 3.4x slower at bs8 on the stage-1 bench) and
+    image loading in a thread pool. Detection outputs stay on device for the
+    region scorer (no host round trip of the masks)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ...data.transforms import load_image, resize_image
+    from ...utils import rle as rle_codec
+
+    todo = [it for it in items if it["image_id"] not in writer]
+    n_skipped = len(items) - len(todo)
+    n_saved = n_empty = 0
+
+    def load(item):
+        image = load_image(item["file_name"])
+        if image is None:
+            return None
+        return resize_image(image, (image_size, image_size))
+
+    pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+    try:
+        for s in range(0, len(todo), batch_size):
+            chunk = todo[s : s + batch_size]
+            images = list(pool.map(load, chunk))
+            keep = [i for i, im in enumerate(images) if im is not None]
+            n_empty += len(chunk) - len(keep)
+            if not keep:
+                continue
+            batch = np.stack([images[i] for i in keep]).astype(np.float32)
+            pad = batch_size - len(keep)
+            if pad:  # fixed shape -> one compiled program
+                batch = np.concatenate(
+                    [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
+            out = detection_fn(params, jnp.asarray(batch))
+            for bi, i in enumerate(keep):
+                item = chunk[i]
+                masks_dev = out["masks"][bi]
+                scores = np.asarray(out["scores"][bi], np.float32)
+                valid = np.asarray(out["valid"][bi])
+                if region_scorer is not None:
+                    class_ids, probs = region_scorer(
+                        jnp.asarray(batch[bi]), masks_dev)
+                    scores = scores * probs
+                else:
+                    class_ids = np.full(len(scores), -1, np.int32)
+                det = {"masks": np.asarray(masks_dev)[valid],
+                       "scores": scores[valid],
+                       "class_ids": np.asarray(class_ids, np.int32)[valid]}
+                if _save_detection(det, item, writer, cfg, rle_codec):
+                    n_saved += 1
+                else:
+                    n_empty += 1
+    finally:
+        pool.shutdown()
     writer.flush()
     return {"saved": n_saved, "skipped": n_skipped, "empty": n_empty}

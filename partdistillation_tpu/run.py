@@ -396,7 +396,7 @@ def cmd_detect(args):
     from .data.pseudo_store import ShardWriter
     from .models.meta_arch.labeling import (
         LabelingConfig, clip_region_scorer, make_proposal_detection_fn,
-        run_labeling, segmenter_detector)
+        run_labeling_batched)
     from .models.meta_arch.proposal import ProposalModelConfig, normalize_images
     from .models.segmenter import MaskFormerSegmenter
 
@@ -432,12 +432,13 @@ def cmd_detect(args):
                     args.clip_backend, len(vocab))
 
     detection_fn = jax.jit(make_proposal_detection_fn(model_cfg))
-    detector = segmenter_detector(detection_fn, params, size, scorer)
     writer = ShardWriter(cfg.paths.object_labels, shard, num_shards)
-    stats = run_labeling(
-        detector, items, writer,
+    stats = run_labeling_batched(
+        detection_fn, params, items, writer,
         LabelingConfig(topk=args.topk, score_threshold=args.score_threshold,
-                       match_classes=scorer is not None and not args.no_class_match))
+                       match_classes=scorer is not None and not args.no_class_match),
+        region_scorer=scorer, image_size=size,
+        batch_size=cfg.data.batch_size, num_workers=cfg.data.num_workers)
     writer.close()
     print(json.dumps({"stage": "detect", **stats}))
 

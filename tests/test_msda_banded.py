@@ -133,3 +133,20 @@ def test_band_geometry_default_cap_engages_at_production_geometry():
     assert tq * 80 <= 512 and 80 % tq == 0
     # the per-query build cost must beat the dense hat build by >= 2x
     assert band_rows * 80 / tq < 80 * 80 / 2
+
+
+def test_banded_radius4_exact_at_production_offset_cap():
+    """The bench default (radius 4) must be EXACT at the production offset
+    distribution's boundary: the deformable-DETR init caps |offset| at
+    exactly n_points = 4 level pixels and the frozen launch configs keep it
+    there (PERF.md round-3 radius table). Bilinear corners at +-4.0 px are
+    covered by the band geometry's +1 row."""
+    value, loc, attw = _case(max_off_px=4.0, p=4, seed=7)
+    dense = ms_deform_attn(value, SHAPES, loc, attw, mode="onehot_mxu")
+    banded = ms_deform_attn(value, SHAPES, loc, attw, mode="banded",
+                            band_radius=4, band_tile_queries=TQ)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               atol=1e-5, rtol=1e-5)
+    frac = msda_band_oob_fraction(SHAPES, loc, attw, radius=4,
+                                  tile_queries=TQ)
+    assert float(frac) == 0.0

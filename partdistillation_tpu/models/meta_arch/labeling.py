@@ -209,28 +209,39 @@ def clip_region_scorer_jax(vision_apply: Callable, text_emb: np.ndarray,
 
     score = jax.jit(_embed_and_score)
 
+    def _crop(image, m):
+        """Bounding-box crop of one mask + bilinear resize, on device.
+        Empty masks fall back to the full image."""
+        h, w = image.shape[:2]
+        ys, xs = jnp.any(m, axis=1), jnp.any(m, axis=0)
+        empty = ~jnp.any(ys)
+        y0 = jnp.where(empty, 0, jnp.argmax(ys)).astype(jnp.float32)
+        y1 = jnp.where(empty, h, h - jnp.argmax(ys[::-1])).astype(jnp.float32)
+        x0 = jnp.where(empty, 0, jnp.argmax(xs)).astype(jnp.float32)
+        x1 = jnp.where(empty, w, w - jnp.argmax(xs[::-1])).astype(jnp.float32)
+        sy, sx = crop_size / (y1 - y0), crop_size / (x1 - x0)
+        return jax.image.scale_and_translate(
+            image, (crop_size, crop_size, 3), (0, 1),
+            jnp.stack([sy, sx]), jnp.stack([-y0 * sy, -x0 * sx]),
+            method="linear")
+
     @jax.jit
     def score_device(params, text, image, masks):
-        """image (H,W,3) f32 in [0,255]; masks (K,H,W) bool. Bounding-box
-        crop + bilinear resize per region, entirely on device."""
-        h, w = image.shape[:2]
-
-        def crop(m):
-            ys, xs = jnp.any(m, axis=1), jnp.any(m, axis=0)
-            empty = ~jnp.any(ys)
-            y0 = jnp.where(empty, 0, jnp.argmax(ys)).astype(jnp.float32)
-            y1 = jnp.where(empty, h, h - jnp.argmax(ys[::-1])).astype(jnp.float32)
-            x0 = jnp.where(empty, 0, jnp.argmax(xs)).astype(jnp.float32)
-            x1 = jnp.where(empty, w, w - jnp.argmax(xs[::-1])).astype(jnp.float32)
-            sy, sx = crop_size / (y1 - y0), crop_size / (x1 - x0)
-            return jax.image.scale_and_translate(
-                image, (crop_size, crop_size, 3), (0, 1),
-                jnp.stack([sy, sx]), jnp.stack([-y0 * sy, -x0 * sx]),
-                method="linear")
-
-        crops = jax.vmap(crop)(masks) / 255.0
+        """image (H,W,3) f32 in [0,255]; masks (K,H,W) bool."""
+        crops = jax.vmap(_crop, in_axes=(None, 0))(image, masks) / 255.0
         return _embed_and_score(params, text,
                                 normalize_clip_pixels(crops))
+
+    @jax.jit
+    def score_device_batch(params, text, images, masks):
+        """images (B,H,W,3) f32 in [0,255]; masks (B,K,H,W) bool. One
+        dispatch for the whole batch: all B*K crops feed one tower call."""
+        b, k = masks.shape[:2]
+        crops = jax.vmap(jax.vmap(_crop, in_axes=(None, 0)))(images, masks)
+        pixels = normalize_clip_pixels(
+            crops.reshape((b * k,) + crops.shape[2:]) / 255.0)
+        ids, probs = _embed_and_score(params, text, pixels)
+        return ids.reshape(b, k), probs.reshape(b, k)
 
     def scorer(image, masks):
         n = len(masks)
@@ -273,6 +284,17 @@ def clip_region_scorer_jax(vision_apply: Callable, text_emb: np.ndarray,
             probs[s : s + k] = np.asarray(cp)[:k]
         return ids, probs
 
+    if crop_backend == "device":
+        def scorer_batched(images, masks):
+            """(B,H,W,3) x (B,K,H,W) -> ((B,K) ids, (B,K) probs), one
+            device dispatch for the whole batch (device arrays pass
+            through without re-upload)."""
+            ci, cp = score_device_batch(
+                vision_params, text_host,
+                jnp.asarray(images, jnp.float32), jnp.asarray(masks))
+            return np.asarray(ci), np.asarray(cp)
+
+        scorer.batched = scorer_batched
     return scorer
 
 
@@ -538,15 +560,22 @@ def run_labeling_batched(
             if pad:  # fixed shape -> one compiled program
                 batch = np.concatenate(
                     [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
-            out = detection_fn(params, jnp.asarray(batch))
+            batch_dev = jnp.asarray(batch)
+            out = detection_fn(params, batch_dev)
+            ids_b = probs_b = None
+            if region_scorer is not None and hasattr(region_scorer, "batched"):
+                # one device dispatch scores every region of the batch
+                ids_b, probs_b = region_scorer.batched(batch_dev, out["masks"])
             for bi, i in enumerate(keep):
                 item = chunk[i]
                 masks_dev = out["masks"][bi]
                 scores = np.asarray(out["scores"][bi], np.float32)
                 valid = np.asarray(out["valid"][bi])
-                if region_scorer is not None:
-                    class_ids, probs = region_scorer(
-                        jnp.asarray(batch[bi]), masks_dev)
+                if ids_b is not None:
+                    class_ids, probs = ids_b[bi], probs_b[bi]
+                    scores = scores * probs
+                elif region_scorer is not None:
+                    class_ids, probs = region_scorer(batch_dev[bi], masks_dev)
                     scores = scores * probs
                 else:
                     class_ids = np.full(len(scores), -1, np.int32)

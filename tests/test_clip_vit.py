@@ -177,3 +177,35 @@ def test_region_scorer_device_crops_match_host():
     ids_d, probs_d = dev(image, masks)
     np.testing.assert_array_equal(ids_h, ids_d)
     np.testing.assert_allclose(probs_h, probs_d, atol=2e-2)
+
+
+def test_region_scorer_batched_matches_per_image():
+    """scorer.batched (one dispatch for a whole image batch — the
+    run_labeling_batched / bench path) equals per-image device calls."""
+    from partdistillation_tpu.models.meta_arch.labeling import (
+        clip_region_scorer_jax)
+
+    proj_dim, n_classes = 8, 5
+    rng = np.random.RandomState(4)
+    text = rng.randn(n_classes, proj_dim).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    w = rng.randn(3, proj_dim).astype(np.float32) * 0.05
+
+    def vision_apply(px):
+        return jnp.mean(px, axis=(1, 2)) @ jnp.asarray(w)
+
+    dev = clip_region_scorer_jax(vision_apply, text, crop_size=16,
+                                 capacity=4, crop_backend="device")
+    images = rng.randint(0, 255, (3, 32, 32, 3)).astype(np.uint8)
+    masks = np.zeros((3, 4, 32, 32), bool)
+    for b in range(3):
+        for k in range(4):
+            y, x = rng.randint(0, 20), rng.randint(0, 20)
+            masks[b, k, y : y + 10, x : x + 10] = True
+    masks[1, 2] = False  # an empty mask exercises the full-image fallback
+
+    ids_b, probs_b = dev.batched(images, masks)
+    for b in range(3):
+        ids_i, probs_i = dev(images[b].astype(np.float32), masks[b])
+        np.testing.assert_array_equal(ids_b[b], ids_i)
+        np.testing.assert_allclose(probs_b[b], probs_i, atol=1e-5)

@@ -54,6 +54,13 @@ class Trainer:
     # None = fully replicated. See parallel.mesh.giant_head_rule for the
     # stage-5 model-axis sharding of the 176k-way part classifier.
     sharding_rules: Optional[Callable] = None
+    # Donate the TrainState to the step (in-place buffer reuse). Keep True
+    # except for the single-chip stage-5 program (22k-class gathered head +
+    # banded MSDA), whose DONATED form crashes the TPU worker at first
+    # execution ("kernel fault", 3/3 donated vs 3/3 clean non-donated —
+    # PERF.md round-3 negative results); the non-donated pass-through copies
+    # fully overlap compute there.
+    donate: bool = True
 
     def __post_init__(self):
         self.tx = build_optimizer(self.optimizer_cfg, self.init_params)
@@ -97,6 +104,7 @@ class Trainer:
             metrics["grad_norm"] = optax.global_norm(grads)
             return new_state, metrics
 
+        donate = (0,) if self.donate else ()
         if self.mesh is not None:
             batch_sh = NamedSharding(self.mesh, P("data"))
             repl = NamedSharding(self.mesh, P())
@@ -104,9 +112,9 @@ class Trainer:
                 step,
                 in_shardings=(self._state_shardings, batch_sh),
                 out_shardings=(self._state_shardings, repl),
-                donate_argnums=(0,),
+                donate_argnums=donate,
             )
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=donate)
 
     def train_step(self, batch) -> Dict[str, float]:
         self.state, metrics = self._step_fn(self.state, batch)

@@ -859,7 +859,11 @@ def cmd_train_distillation(args):
         seed=cfg.seed,
         # n_model_shards > 1 shards the giant head's kernel AND its Adam
         # moments over the model axis (size-1 axis = replicated, no-op)
-        sharding_rules=giant_head_rule)
+        sharding_rules=giant_head_rule,
+        # donated single-chip stage-5 crashes the TPU worker (kernel fault,
+        # 3/3 donated vs 3/3 clean non-donated — PERF.md round-3 negative
+        # results); the non-donated pass-through copies overlap compute
+        donate=jax.device_count() > 1)
     trainer.resume_or_load()
 
     mapper = PartDistillationTrainMapper(image_size=size,

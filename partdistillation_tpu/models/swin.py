@@ -19,12 +19,14 @@ TPU design notes
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+from ..ops.layer_norm import fused_layer_norm
 
 __all__ = ["SwinConfig", "SwinTransformer", "swin_large_config", "swin_tiny_config"]
 
@@ -48,6 +50,13 @@ class SwinConfig:
     # logits/probs of thousands of windows stay in VMEM instead of
     # round-tripping HBM (profiled ~50 ms/step at 640^2 Swin-L bs16).
     fused_attention: bool = True
+    # Fused (Pallas) LayerNorm on TPU: one HBM pass for stats + normalize
+    # (XLA's stats-reduce fusions measured ~44 GB/s effective — ~33 ms/step
+    # of the stage-3 bench in res4 alone, PERF.md round 3). Statistics in
+    # f32 regardless of compute dtype (slightly MORE accurate than the
+    # bf16-stat nn.LayerNorm path it replaces); falls back to the XLA
+    # composition off-TPU.
+    fused_layernorm: bool = True
 
     @property
     def num_layers(self) -> int:
@@ -248,6 +257,31 @@ class WindowAttention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
+class LN(nn.Module):
+    """LayerNorm with nn.LayerNorm's parameter layout ({scale, bias} at this
+    module's own name — checkpoint keys unchanged) dispatching to the Pallas
+    fused kernel (ops/layer_norm.py) when ``fused``; otherwise the flax
+    nn.LayerNorm numerics (stats in ``dtype``, fast variance)."""
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.fused:
+            return fused_layer_norm(x.astype(self.dtype), scale, bias,
+                                    eps=self.epsilon)
+        xd = x.astype(self.dtype)
+        mean = jnp.mean(xd, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xd), axis=-1, keepdims=True) - mean * mean
+        y = (xd - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -259,6 +293,7 @@ class SwinBlock(nn.Module):
     drop_path: float
     dtype: jnp.dtype = jnp.float32
     fused_attention: bool = True
+    fused_layernorm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
@@ -269,7 +304,8 @@ class SwinBlock(nn.Module):
         shift = self.shift_size if min(h, w) > ws else 0
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = LN(epsilon=1e-5, dtype=self.dtype, fused=self.fused_layernorm,
+               name="norm1")(x)
 
         pad_b = (ws - h % ws) % ws
         pad_r = (ws - w % ws) % ws
@@ -301,7 +337,8 @@ class SwinBlock(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, deterministic)
 
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = LN(epsilon=1e-5, dtype=self.dtype, fused=self.fused_layernorm,
+               name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
@@ -311,6 +348,7 @@ class SwinBlock(nn.Module):
 class PatchMerging(nn.Module):
     dim: int
     dtype: jnp.dtype = jnp.float32
+    fused_layernorm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -323,7 +361,8 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate(
             [x[:, :, 0, :, 0], x[:, :, 1, :, 0], x[:, :, 0, :, 1], x[:, :, 1, :, 1]], axis=-1
         )
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = LN(epsilon=1e-5, dtype=self.dtype, fused=self.fused_layernorm,
+               name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -340,7 +379,8 @@ class SwinTransformer(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, (p - h % p) % p), (0, (p - w % p) % p), (0, 0)))
         x = nn.Conv(cfg.embed_dim, (p, p), strides=(p, p), dtype=cfg.dtype, name="patch_embed")(x)
         if cfg.patch_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="patch_norm")(x)
+            x = LN(epsilon=1e-5, dtype=cfg.dtype, fused=cfg.fused_layernorm,
+                   name="patch_norm")(x)
 
         total_depth = sum(cfg.depths)
         dpr = np.linspace(0.0, cfg.drop_path_rate, total_depth)
@@ -361,15 +401,20 @@ class SwinTransformer(nn.Module):
                     drop_path=float(dpr[block_idx]),
                     dtype=cfg.dtype,
                     fused_attention=cfg.fused_attention,
+                    fused_layernorm=cfg.fused_layernorm,
                     name=f"stage{stage}_block{blk}",
                 )(x, deterministic=not train)
                 block_idx += 1
 
             key = f"res{stage + 2}"
             if key in cfg.out_features:
-                outs[key] = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name=f"norm_{key}")(x)
+                outs[key] = LN(epsilon=1e-5, dtype=cfg.dtype,
+                               fused=cfg.fused_layernorm,
+                               name=f"norm_{key}")(x)
 
             if stage < cfg.num_layers - 1:
-                x = PatchMerging(dim=dim, dtype=cfg.dtype, name=f"downsample{stage}")(x)
+                x = PatchMerging(dim=dim, dtype=cfg.dtype,
+                                 fused_layernorm=cfg.fused_layernorm,
+                                 name=f"downsample{stage}")(x)
 
         return outs

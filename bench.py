@@ -52,7 +52,10 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
     from partdistillation_tpu.models.transformer_decoder import TransformerDecoderConfig
 
     seg = SegmenterConfig(
-        swin=swin_large_config(dtype=dtype),
+        # BENCH_FUSED_LN=0: A/B knob for the Pallas fused LayerNorm
+        swin=swin_large_config(
+            dtype=dtype,
+            fused_layernorm=os.environ.get("BENCH_FUSED_LN", "1") == "1"),
         # banded MSDA is exact here: the encoder is FROZEN (the stage-3
         # launch config), so offsets stay at the deformable-DETR init whose
         # max magnitude is n_points=4 level pixels < radius 6; measured

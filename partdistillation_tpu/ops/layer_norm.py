@@ -8,7 +8,11 @@ on a ~800 GB/s part (the cross-lane reduce over the channel axis plus an
 S(1)-staged tuple output), ~33 ms/step across res4's 38 LayerNorms alone.
 This kernel reads each row block once, computes mean/variance in f32 on the
 VPU, and writes the normalized+affine output — speed-of-light is one read +
-one write.
+one write. Measured end-to-end (BENCH_FUSED_LN A/B on the real chip) the
+step is NEUTRAL: 27.40 vs 27.35 img/s — post-donation XLA overlaps the
+stats reductions with neighbor ops. Kept as the default for the f32
+statistics (more accurate than the bf16-stat path it replaces), not as a
+throughput claim.
 
 The backward is the standard analytic LayerNorm gradient, implemented in
 plain XLA (`custom_vjp`): in the launch configs the trunk is frozen, so the

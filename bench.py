@@ -68,7 +68,10 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
             # library default stays 6 (margin for unfrozen fine-tuning).
             # BENCH_BAND_RADIUS / BENCH_BAND_TQ: A/B knobs.
             msda_band_radius=int(os.environ.get("BENCH_BAND_RADIUS", "4")),
-            msda_band_tile_queries=int(os.environ.get("BENCH_BAND_TQ", "512"))),
+            msda_band_tile_queries=int(os.environ.get("BENCH_BAND_TQ", "512")),
+            # BENCH_BAND_TX: 2-D banding tile edge (unset = 1-D row bands)
+            msda_band_tile_x=(int(os.environ["BENCH_BAND_TX"])
+                              if os.environ.get("BENCH_BAND_TX") else None)),
         decoder=TransformerDecoderConfig(num_classes=1, num_queries=200, dec_layers=9,
                                          dtype=dtype),
         # reference stage-3 freeze (train_multi.sh:8): stop-gradient releases

@@ -110,6 +110,8 @@ class MSDeformAttn(nn.Module):
     msda_mode: Optional[str] = None
     band_radius: int = 6
     band_tile_queries: int = 512
+    # 2-D blocking for "banded" (tile edge cap; None = 1-D row bands)
+    band_tile_x: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -153,5 +155,6 @@ class MSDeformAttn(nn.Module):
 
         out = ms_deform_attn(value, tuple(spatial_shapes), locations, weights,
                              mode=self.msda_mode, band_radius=self.band_radius,
-                             band_tile_queries=self.band_tile_queries)
+                             band_tile_queries=self.band_tile_queries,
+                             band_tile_x=self.band_tile_x)
         return nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(out)

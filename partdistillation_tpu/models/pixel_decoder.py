@@ -45,6 +45,10 @@ class PixelDecoderConfig:
     # query-tile cap for "banded" (speed only, never exactness; 512 measured
     # best — larger tiles exceed the fused-dot VMEM budget, PERF.md round 3)
     msda_band_tile_queries: int = 512
+    # 2-D blocking for "banded": cap on BOTH query-tile edges; each tile then
+    # contracts against a (rows x cols) block instead of full-width rows.
+    # None = 1-D row bands. Exactness contract applies per axis.
+    msda_band_tile_x: "int | None" = None
 
 
 def _reference_points(spatial_shapes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
@@ -74,6 +78,7 @@ class _EncoderLayer(nn.Module):
             msda_mode=self.cfg.msda_mode,
             band_radius=self.cfg.msda_band_radius,
             band_tile_queries=self.cfg.msda_band_tile_queries,
+            band_tile_x=self.cfg.msda_band_tile_x,
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.dtype, name="norm1")(src + attn)

@@ -70,6 +70,7 @@ def ms_deform_attn(
     mode: Optional[str] = None,
     band_radius: int = 6,
     band_tile_queries: int = 512,
+    band_tile_x: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention sampling.
 
@@ -97,6 +98,15 @@ def ms_deform_attn(
         overhead over more query rows but grow the fused-dot LHS tile past
         the VMEM budget: measured 512 -> 26.35 img/s vs 2048 -> 22.96 on the
         stage-3 bench (PERF.md round 3), so 512 stays the default.
+      band_tile_x: if set, "banded" blocks queries in 2-D (band_tile_x caps
+        BOTH the query-row and query-column tile edge) so each tile
+        contracts against a (band_rows x band_cols) BLOCK of the sampling
+        level instead of full-width rows — the hat build shrinks another
+        ~1.9x at the 640^2 geometry (radius 4, tile 16). Exactness contract
+        is the same as 1-D banding, applied per axis: taps must stay within
+        `band_radius` sampling-level pixels of the reference point in x AND
+        y (measure with msda_band_oob_fraction(..., tile_x=...)). None
+        (default) keeps the 1-D row-band formulation.
 
     Returns:
       (B, Lq, M * D).
@@ -114,7 +124,7 @@ def ms_deform_attn(
     if mode == "banded":
         return _ms_deform_attn_banded(
             value, spatial_shapes, sampling_locations, attention_weights,
-            band_radius, band_tile_queries)
+            band_radius, band_tile_queries, band_tile_x)
     if mode == "pallas_folded":
         return _ms_deform_attn_pallas_folded(
             value, spatial_shapes, sampling_locations, attention_weights)
@@ -271,6 +281,55 @@ def _band_geometry(spatial_shapes: Tuple[Tuple[int, int], ...], radius: int,
     return plan
 
 
+def _band_axis_plan(nq_ax: int, nv_ax: int, radius: int, tile: int):
+    """1-axis blocking plan: queries along one grid axis (nq_ax long) are
+    tiled into runs of t (largest divisor of nq_ax <= tile); each run's taps
+    — bounded by `radius` sampling-level pixels around the reference point,
+    +-1 for the bilinear corners — fall in a length-`band` window of the
+    value axis (nv_ax long), whose clamped start is per-tile static.
+
+    Returns (t, band, starts). If the window would cover the whole axis the
+    plan degenerates to one tile spanning everything: (nq_ax, nv_ax, (0,)).
+    """
+    t = 1
+    for cand in range(1, nq_ax + 1):
+        if nq_ax % cand == 0 and cand <= max(tile, 1):
+            t = cand
+    scale = nv_ax / nq_ax
+    # reference coord (pixel units) of query index i: (i + 0.5)*scale - 0.5
+    lo_off = 0.5 * scale - 0.5 - radius
+    hi_off = (t - 0.5) * scale - 0.5 + radius
+    band = int(np.floor(hi_off) + 1 - np.floor(lo_off)) + 1
+    if band >= nv_ax:
+        return (nq_ax, nv_ax, (0,))
+    starts = []
+    for i in range(nq_ax // t):
+        s = int(np.floor(i * t * scale + lo_off))
+        starts.append(max(0, min(s, nv_ax - band)))
+    return (t, band, tuple(starts))
+
+
+@functools.lru_cache(maxsize=None)
+def _band_geometry_2d(spatial_shapes: Tuple[Tuple[int, int], ...],
+                      radius: int, tile: int):
+    """2-D blocking plan: like _band_geometry but queries are tiled in
+    (tile x tile)-capped 2-D blocks of the ql grid, and each block contracts
+    against a (band_rows x band_cols) BLOCK of the lvl grid — the hat build
+    shrinks along both image axes. Returns
+    {(ql, lvl): None | (tqy, band_rows, ystarts, tqx, band_cols, xstarts)};
+    None means neither axis bands (dense hat build)."""
+    plan = {}
+    for ql, (hq, wq) in enumerate(spatial_shapes):
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            ypl = _band_axis_plan(hq, h, radius, tile)
+            xpl = _band_axis_plan(wq, w, radius, tile)
+            if ypl[1] >= h and xpl[1] >= w:
+                plan[(ql, lvl)] = None
+            else:
+                plan[(ql, lvl)] = ypl + xpl
+    return plan
+
+
 def _ms_deform_attn_banded(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -278,6 +337,7 @@ def _ms_deform_attn_banded(
     attention_weights: jnp.ndarray,
     radius: int,
     tile_queries: int = 512,
+    tile_x: Optional[int] = None,
 ) -> jnp.ndarray:
     """Banded-hat MXU formulation for encoder self-attention (Lq == S).
 
@@ -300,8 +360,12 @@ def _ms_deform_attn_banded(
             f"banded mode requires queries == pixels (Lq {lq} != S {s}); "
             "use onehot_mxu for decoder-style queries")
     dtype = value.dtype
-    plan = _band_geometry(tuple(spatial_shapes), int(radius),
-                          int(tile_queries))
+    if tile_x is None:
+        plan = _band_geometry(tuple(spatial_shapes), int(radius),
+                              int(tile_queries))
+    else:
+        plan = _band_geometry_2d(tuple(spatial_shapes), int(radius),
+                                 int(tile_x))
 
     val = value.transpose(0, 2, 1, 3)  # (B, M, S, D)
     loc = sampling_locations.transpose(0, 2, 1, 4, 3, 5)  # (B, M, Lq, P, L, 2)
@@ -333,6 +397,51 @@ def _ms_deform_attn_banded(
                 acc = acc + jnp.einsum(
                     "bmqs,bmsd->bmqd", wm.astype(dtype), vl,
                     preferred_element_type=jnp.float32)
+            elif len(geom) == 6:
+                # 2-D blocking: (tqy x tqx) query tiles vs
+                # (band_rows x band_cols) value blocks
+                tqy, br, ys, tqx, bc, xs = geom
+                n_ty, n_tx = hq // tqy, wq // tqx
+                t_tiles, tq2, sb2 = n_ty * n_tx, tqy * tqx, br * bc
+
+                def _tile_q(a):  # (B, M, nq, P) -> (B, M, T, tq2, P)
+                    a = a.reshape(b, m, n_ty, tqy, n_tx, tqx, p)
+                    return a.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+                        b, m, t_tiles, tq2, p)
+
+                xt, yt, awt = _tile_q(x), _tile_q(y), _tile_q(aw)
+                v4 = vl.reshape(b, m, h, w, d)
+                blocks = []
+                for ys_ in ys:
+                    rows = jax.lax.slice_in_dim(v4, ys_, ys_ + br, axis=2)
+                    for xs_ in xs:
+                        blk = jax.lax.slice_in_dim(rows, xs_, xs_ + bc,
+                                                   axis=3)
+                        blocks.append(blk.reshape(b, m, sb2, d))
+                vband = jnp.stack(blocks, axis=2)  # (B, M, T, Sb2, D)
+                # static per-tile pixel coordinates of the block's columns
+                wy = np.arange(sb2, dtype=np.float32) // bc
+                wx = np.arange(sb2, dtype=np.float32) % bc
+                coly = np.asarray(ys, np.float32)[:, None, None] + wy
+                colx = np.asarray(xs, np.float32)[None, :, None] + wx
+                coly = jnp.asarray(
+                    np.broadcast_to(coly, (n_ty, n_tx, sb2)).reshape(
+                        t_tiles, sb2))[None, None, :, None, :]
+                colx = jnp.asarray(
+                    np.broadcast_to(colx, (n_ty, n_tx, sb2)).reshape(
+                        t_tiles, sb2))[None, None, :, None, :]
+                wm = None
+                for pi in range(p):
+                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(xt[..., pi, None] - colx))
+                    hy = jnp.maximum(0.0, 1.0 - jnp.abs(yt[..., pi, None] - coly))
+                    term = hx * hy * awt[..., pi, None]
+                    wm = term if wm is None else wm + term
+                tile_out = jnp.einsum(
+                    "bmtqs,bmtsd->bmtqd", wm.astype(dtype), vband,
+                    preferred_element_type=jnp.float32)
+                tile_out = tile_out.reshape(b, m, n_ty, n_tx, tqy, tqx, d)
+                acc = acc + tile_out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+                    b, m, nq, d)
             else:
                 tq, band_rows, starts = geom
                 n_tiles, tqq, sb = len(starts), tq * wq, band_rows * w
@@ -372,6 +481,7 @@ def msda_band_oob_fraction(
     attention_weights: jnp.ndarray,
     radius: int = 6,
     tile_queries: int = 512,
+    tile_x: Optional[int] = None,
 ) -> jnp.ndarray:
     """Fraction of attention mass whose taps fall OUTSIDE the banded-mode
     coverage window (the runtime counter for the banded kernel's locality
@@ -380,14 +490,21 @@ def msda_band_oob_fraction(
 
     A tap is out-of-band if either bilinear corner row lies inside the image
     but outside the tile's band (corners outside the image read zero in every
-    mode and are therefore never counted).
+    mode and are therefore never counted). With ``tile_x`` set the counter
+    uses the 2-D blocking plan and applies the same test per axis (corner
+    rows against the tile's row band AND corner columns against its column
+    band) — pass the production ``band_tile_x`` to audit 2-D banded runs.
     """
     b, lq, m, num_levels, p, _ = sampling_locations.shape
     s = sum(h * w for h, w in spatial_shapes)
     if lq != s:
         raise ValueError("oob counter requires queries == pixels (Lq == S)")
-    plan = _band_geometry(tuple(spatial_shapes), int(radius),
-                          int(tile_queries))
+    if tile_x is None:
+        plan = _band_geometry(tuple(spatial_shapes), int(radius),
+                              int(tile_queries))
+    else:
+        plan = _band_geometry_2d(tuple(spatial_shapes), int(radius),
+                                 int(tile_x))
 
     total = jnp.sum(attention_weights.astype(jnp.float32))
     oob = jnp.zeros((), jnp.float32)
@@ -398,22 +515,49 @@ def msda_band_oob_fraction(
             geom = plan[(ql, lvl)]
             if geom is None:
                 continue
-            tq, band_rows, starts = geom
-            n_tiles = len(starts)
-            y = (sampling_locations[:, q_start : q_start + nq, :, lvl, :, 1]
-                 * h - 0.5)  # (B, nq, M, P)
             aw = attention_weights[:, q_start : q_start + nq, :, lvl].astype(
                 jnp.float32)
-            y = y.reshape(b, n_tiles, nq // n_tiles, m, p)
-            aw = aw.reshape(b, n_tiles, nq // n_tiles, m, p)
-            st = jnp.asarray(starts, jnp.float32)[None, :, None, None, None]
-            y0 = jnp.floor(y)
-            bad = jnp.zeros(y.shape, bool)
-            for corner in (y0, y0 + 1.0):
-                inside_img = (corner >= 0) & (corner <= h - 1)
-                inside_band = (corner >= st) & (corner <= st + band_rows - 1)
-                bad = bad | (inside_img & ~inside_band)
-            oob = oob + jnp.sum(aw * bad)
+            if len(geom) == 6:
+                tqy, br, ys, tqx, bc, xs = geom
+                n_ty, n_tx = hq // tqy, wq // tqx
+                locs = sampling_locations[:, q_start : q_start + nq, :, lvl]
+                ypix = locs[..., 1] * h - 0.5  # (B, nq, M, P)
+                xpix = locs[..., 0] * w - 0.5
+
+                def _rt(a):  # (B, nq, M, P) -> 2-D query tiles
+                    return a.reshape(b, n_ty, tqy, n_tx, tqx, m, p)
+
+                ypix, xpix, awt = _rt(ypix), _rt(xpix), _rt(aw)
+                sty = jnp.asarray(ys, jnp.float32)[
+                    None, :, None, None, None, None, None]
+                stx = jnp.asarray(xs, jnp.float32)[
+                    None, None, None, :, None, None, None]
+                bad = jnp.zeros(ypix.shape, bool)
+                for pix, st, band, extent in ((ypix, sty, br, h),
+                                              (xpix, stx, bc, w)):
+                    c0 = jnp.floor(pix)
+                    for corner in (c0, c0 + 1.0):
+                        inside_img = (corner >= 0) & (corner <= extent - 1)
+                        inside_band = (corner >= st) & (corner <= st + band - 1)
+                        bad = bad | (inside_img & ~inside_band)
+                oob = oob + jnp.sum(awt * bad)
+            else:
+                tq, band_rows, starts = geom
+                n_tiles = len(starts)
+                y = (sampling_locations[:, q_start : q_start + nq, :, lvl, :,
+                                        1] * h - 0.5)  # (B, nq, M, P)
+                y = y.reshape(b, n_tiles, nq // n_tiles, m, p)
+                awt = aw.reshape(b, n_tiles, nq // n_tiles, m, p)
+                st = jnp.asarray(starts, jnp.float32)[None, :, None, None,
+                                                      None]
+                y0 = jnp.floor(y)
+                bad = jnp.zeros(y.shape, bool)
+                for corner in (y0, y0 + 1.0):
+                    inside_img = (corner >= 0) & (corner <= h - 1)
+                    inside_band = (corner >= st) & (corner <= st + band_rows
+                                                    - 1)
+                    bad = bad | (inside_img & ~inside_band)
+                oob = oob + jnp.sum(awt * bad)
         q_start += nq
     return oob / jnp.maximum(total, 1e-12)
 

@@ -150,3 +150,84 @@ def test_banded_radius4_exact_at_production_offset_cap():
     frac = msda_band_oob_fraction(SHAPES, loc, attw, radius=4,
                                   tile_queries=TQ)
     assert float(frac) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# 2-D blocking (band_tile_x): tiles contract against (rows x cols) blocks
+# ---------------------------------------------------------------------------
+
+def test_band_geometry_2d_blocks_both_axes():
+    from partdistillation_tpu.ops.ms_deform_attn import _band_geometry_2d
+
+    shapes = ((80, 80), (40, 40), (20, 20))
+    plan = _band_geometry_2d(shapes, radius=4, tile=16)
+    tqy, br, ys, tqx, bc, xs = plan[(0, 0)]
+    assert tqy == 16 and tqx == 16
+    assert br < 80 and bc < 80
+    assert len(ys) == 5 and len(xs) == 5
+    assert all(0 <= s <= 80 - br for s in ys)
+    assert all(0 <= s <= 80 - bc for s in xs)
+    # the block build must beat the 1-D row band by >= 1.5x on this pair
+    plan1d = _band_geometry(shapes, radius=4, tile_queries=512)
+    tq, band_rows, _ = plan1d[(0, 0)]
+    per_query_1d = band_rows * 80
+    per_query_2d = br * bc
+    assert per_query_2d * 1.5 < per_query_1d
+
+
+def test_banded2d_matches_dense_within_radius():
+    value, loc, attw = _case(max_off_px=1.0)
+    dense = ms_deform_attn(value, SHAPES, loc, attw, mode="onehot_mxu")
+    banded = ms_deform_attn(value, SHAPES, loc, attw, mode="banded",
+                            band_radius=2, band_tile_x=8)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               atol=1e-5, rtol=1e-5)
+    frac = msda_band_oob_fraction(SHAPES, loc, attw, radius=2, tile_x=8)
+    assert float(frac) == 0.0
+
+
+def test_banded2d_radius4_exact_at_production_offset_cap():
+    value, loc, attw = _case(max_off_px=4.0, p=4, seed=7)
+    dense = ms_deform_attn(value, SHAPES, loc, attw, mode="onehot_mxu")
+    banded = ms_deform_attn(value, SHAPES, loc, attw, mode="banded",
+                            band_radius=4, band_tile_x=8)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               atol=1e-5, rtol=1e-5)
+    frac = msda_band_oob_fraction(SHAPES, loc, attw, radius=4, tile_x=8)
+    assert float(frac) == 0.0
+
+
+def test_banded2d_gradients_match_dense():
+    value, loc, attw = _case(max_off_px=1.0, b=1, m=1, p=2, d=4, seed=3)
+
+    def loss(mode, **kw):
+        def f(v, l, a):
+            return jnp.sum(
+                ms_deform_attn(v, SHAPES, l, a, mode=mode, band_radius=2,
+                               **kw) ** 2)
+        return f
+
+    gd = jax.grad(loss("onehot_mxu"), argnums=(0, 1, 2))(value, loc, attw)
+    gb = jax.grad(loss("banded", band_tile_x=8), argnums=(0, 1, 2))(
+        value, loc, attw)
+    for a, b_ in zip(gd, gb):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_oob_counter_2d_flags_column_escapes():
+    """Taps pushed sideways (columns) escape the 2-D block but stay inside
+    the 1-D row band — only the tile_x counter must flag them."""
+    value, loc, attw = _case(max_off_px=0.5, seed=5)
+    # push one stripe of queries' x taps 12 columns away at the largest level
+    loc = loc.at[:, -1024:, :, 2, :, 0].add(12.0 / 32.0)
+    frac_rows = float(msda_band_oob_fraction(SHAPES, loc, attw, radius=2,
+                                             tile_queries=TQ))
+    frac_2d = float(msda_band_oob_fraction(SHAPES, loc, attw, radius=2,
+                                           tile_x=8))
+    assert frac_rows == 0.0
+    assert frac_2d > 0.0
+    dense = ms_deform_attn(value, SHAPES, loc, attw, mode="onehot_mxu")
+    banded = ms_deform_attn(value, SHAPES, loc, attw, mode="banded",
+                            band_radius=2, band_tile_x=8)
+    assert not np.allclose(np.asarray(banded), np.asarray(dense), atol=1e-4)

@@ -223,15 +223,23 @@ def _ms_deform_attn_onehot(
         # whole build into the dot's LHS (no (.., P, HW) or post-dot
         # (.., P, D) intermediate ever materializes) and the contraction
         # itself shrinks P-fold.
-        colx = (jnp.arange(hw, dtype=jnp.float32) % w)
-        coly = jnp.floor(jnp.arange(hw, dtype=jnp.float32) / w)
+        # The 2-D hat is SEPARABLE: build thin (Lq, w) / (Lq, h) per-axis
+        # hats and combine as a broadcast outer product — ~8 VPU ops per
+        # (query, pixel) element instead of ~36 for the joint build over the
+        # flat grid (same corner weights; f32 mul reassociation only).
+        colx = jnp.arange(w, dtype=jnp.float32)
+        rowy = jnp.arange(h, dtype=jnp.float32)
         wm = None
         for pi in range(p):
-            hx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., pi, None] - colx))
-            hy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., pi, None] - coly))
-            term = hx * hy * aw[..., pi, None]
+            hx = jnp.maximum(
+                0.0, 1.0 - jnp.abs(x[..., pi, None] - colx)
+            ) * aw[..., pi, None]                          # (B, M, Lq, w)
+            hy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(y[..., pi, None] - rowy)
+            )                                              # (B, M, Lq, h)
+            term = hy[..., :, None] * hx[..., None, :]     # (B, M, Lq, h, w)
             wm = term if wm is None else wm + term
-        wm = wm.astype(dtype)  # (B, M, Lq, HW)
+        wm = wm.reshape(b, m, lq, hw).astype(dtype)  # (B, M, Lq, HW)
         out = out + jnp.einsum("bmqs,bmsd->bmqd", wm, vl,
                                preferred_element_type=jnp.float32)
         start += hw
@@ -385,17 +393,28 @@ def _ms_deform_attn_banded(
             aw = attw[:, :, q_start : q_start + nq, :, lvl]  # (B, M, nq, P)
             geom = plan[(ql, lvl)]
             if geom is None:
-                # band covers the level: dense hat build (identical to onehot)
-                colx = jnp.arange(hw, dtype=jnp.float32) % w
-                coly = jnp.floor(jnp.arange(hw, dtype=jnp.float32) / w)
+                # band covers the level: dense hat build (identical to
+                # onehot). The 2-D hat is SEPARABLE — build thin (nq, w) /
+                # (nq, h) per-axis hats and combine them as a broadcast
+                # outer product: ~8 VPU ops per (query, pixel) element vs
+                # ~36 for the joint build (same corner weights, same
+                # P-unrolled accumulation, bit-identical up to f32 mul
+                # reassociation hx*aw vs hx*hy*aw).
+                colx = jnp.arange(w, dtype=jnp.float32)
+                rowy = jnp.arange(h, dtype=jnp.float32)
                 wm = None
                 for pi in range(p):
-                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., pi, None] - colx))
-                    hy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., pi, None] - coly))
-                    term = hx * hy * aw[..., pi, None]
+                    hx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(x[..., pi, None] - colx)
+                    ) * aw[..., pi, None]                      # (B, M, nq, w)
+                    hy = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(y[..., pi, None] - rowy)
+                    )                                          # (B, M, nq, h)
+                    term = hy[..., :, None] * hx[..., None, :]
                     wm = term if wm is None else wm + term
                 acc = acc + jnp.einsum(
-                    "bmqs,bmsd->bmqd", wm.astype(dtype), vl,
+                    "bmqs,bmsd->bmqd",
+                    wm.reshape(b, m, nq, hw).astype(dtype), vl,
                     preferred_element_type=jnp.float32)
             elif len(geom) == 6:
                 # 2-D blocking: (tqy x tqx) query tiles vs
@@ -419,25 +438,34 @@ def _ms_deform_attn_banded(
                                                    axis=3)
                         blocks.append(blk.reshape(b, m, sb2, d))
                 vband = jnp.stack(blocks, axis=2)  # (B, M, T, Sb2, D)
-                # static per-tile pixel coordinates of the block's columns
-                wy = np.arange(sb2, dtype=np.float32) // bc
-                wx = np.arange(sb2, dtype=np.float32) % bc
-                coly = np.asarray(ys, np.float32)[:, None, None] + wy
-                colx = np.asarray(xs, np.float32)[None, :, None] + wx
+                # static per-tile pixel coordinates of the block rows/cols;
+                # separable thin-hat build (see the dense branch above):
+                # (tq2, br) x (tq2, bc) outer product instead of a joint
+                # (tq2, sb2) hat — block pixels are y-major so the
+                # (..., br, bc) outer product reshapes to Sb2 exactly
+                coly = (np.asarray(ys, np.float32)[:, None]
+                        + np.arange(br, dtype=np.float32))      # (n_ty, br)
+                colx = (np.asarray(xs, np.float32)[:, None]
+                        + np.arange(bc, dtype=np.float32))      # (n_tx, bc)
                 coly = jnp.asarray(
-                    np.broadcast_to(coly, (n_ty, n_tx, sb2)).reshape(
-                        t_tiles, sb2))[None, None, :, None, :]
+                    np.broadcast_to(coly[:, None, :], (n_ty, n_tx, br))
+                    .reshape(t_tiles, br))[None, None, :, None, :]
                 colx = jnp.asarray(
-                    np.broadcast_to(colx, (n_ty, n_tx, sb2)).reshape(
-                        t_tiles, sb2))[None, None, :, None, :]
+                    np.broadcast_to(colx[None, :, :], (n_ty, n_tx, bc))
+                    .reshape(t_tiles, bc))[None, None, :, None, :]
                 wm = None
                 for pi in range(p):
-                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(xt[..., pi, None] - colx))
-                    hy = jnp.maximum(0.0, 1.0 - jnp.abs(yt[..., pi, None] - coly))
-                    term = hx * hy * awt[..., pi, None]
+                    hx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(xt[..., pi, None] - colx)
+                    ) * awt[..., pi, None]                  # (B, M, T, tq2, bc)
+                    hy = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(yt[..., pi, None] - coly)
+                    )                                       # (B, M, T, tq2, br)
+                    term = hy[..., :, None] * hx[..., None, :]
                     wm = term if wm is None else wm + term
                 tile_out = jnp.einsum(
-                    "bmtqs,bmtsd->bmtqd", wm.astype(dtype), vband,
+                    "bmtqs,bmtsd->bmtqd",
+                    wm.reshape(b, m, t_tiles, tq2, sb2).astype(dtype), vband,
                     preferred_element_type=jnp.float32)
                 tile_out = tile_out.reshape(b, m, n_ty, n_tx, tqy, tqx, d)
                 acc = acc + tile_out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
@@ -452,19 +480,27 @@ def _ms_deform_attn_banded(
                 xt = x.reshape(b, m, n_tiles, tqq, p)
                 yt = y.reshape(b, m, n_tiles, tqq, p)
                 awt = aw.reshape(b, m, n_tiles, tqq, p)
-                colx = jnp.arange(sb, dtype=jnp.float32) % w  # (Sb,)
-                coly = (jnp.asarray(starts, jnp.float32)[:, None]
-                        + jnp.floor(jnp.arange(sb, dtype=jnp.float32) / w)
-                        [None, :])  # (T, Sb)
-                coly = coly[None, None, :, None, :]
+                # separable thin-hat build (see the dense branch above): the
+                # band is band_rows full rows, so the (tqq, Sb) hat is the
+                # outer product of a (tqq, w) column hat and a
+                # (tqq, band_rows) row hat — Sb = band_rows * w y-major
+                colx = jnp.arange(w, dtype=jnp.float32)       # (w,)
+                rowy = (jnp.asarray(starts, jnp.float32)[:, None]
+                        + jnp.arange(band_rows, dtype=jnp.float32)[None, :])
+                rowy = rowy[None, None, :, None, :]           # (1,1,T,1,rows)
                 wm = None
                 for pi in range(p):
-                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(xt[..., pi, None] - colx))
-                    hy = jnp.maximum(0.0, 1.0 - jnp.abs(yt[..., pi, None] - coly))
-                    term = hx * hy * awt[..., pi, None]
+                    hx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(xt[..., pi, None] - colx)
+                    ) * awt[..., pi, None]                 # (B, M, T, tqq, w)
+                    hy = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(yt[..., pi, None] - rowy)
+                    )                                      # (B, M, T, tqq, rows)
+                    term = hy[..., :, None] * hx[..., None, :]
                     wm = term if wm is None else wm + term
                 tile_out = jnp.einsum(
-                    "bmtqs,bmtsd->bmtqd", wm.astype(dtype), vband,
+                    "bmtqs,bmtsd->bmtqd",
+                    wm.reshape(b, m, n_tiles, tqq, sb).astype(dtype), vband,
                     preferred_element_type=jnp.float32)
                 acc = acc + tile_out.reshape(b, m, nq, d)
             v_start += hw

@@ -24,7 +24,33 @@ from typing import Any, Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["convert_mask2former_state_dict", "load_torch_checkpoint"]
+__all__ = ["convert_mask2former_state_dict", "load_torch_checkpoint",
+           "migrate_legacy_keys"]
+
+
+def migrate_legacy_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Rewrite legacy detectron2 state-dict keys to the modern layout.
+
+    Mirrors the reference's in-place ``_load_from_state_dict`` shims:
+    - ``sem_seg_head.pixel_decoder.pixel_decoder.*`` (an old double-nesting)
+      -> ``sem_seg_head.pixel_decoder.*``
+      (mask_former_head.py:48-55)
+    - ``static_query`` -> ``query_feat`` (the pre-v2 name of the learned
+      query features; mask2former_transformer_decoder.py:216-237)
+
+    Modern keys win on collision (a checkpoint carrying both spellings keeps
+    the modern one, matching the reference's delete-after-copy semantics
+    applied to an already-migrated dict).
+    """
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        nk = k.replace("sem_seg_head.pixel_decoder.pixel_decoder",
+                       "sem_seg_head.pixel_decoder")
+        nk = nk.replace("static_query", "query_feat")
+        if nk != k and nk in sd:
+            continue  # modern spelling also present; it wins
+        out[nk] = v
+    return out
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
@@ -76,6 +102,7 @@ def convert_mask2former_state_dict(
     are shape-checked against it and merged over it; size-mismatched heads are
     skipped (returned as unmatched) rather than erroring.
     """
+    sd = migrate_legacy_keys(sd)
     params: Dict[str, Any] = {}
     unmatched: List[str] = []
 

@@ -66,6 +66,16 @@ class _StoreCache:
 _STORES = _StoreCache()
 
 
+def invalidate_store_cache(store_dir: str = None):
+    """Drop cached store views so late-arriving shards/records become
+    visible. Continuous consumers (``dcrf --watch``) call this per rescan;
+    one-shot stage CLIs never need it (their stores are immutable inputs)."""
+    if store_dir is None:
+        _STORES._stores.clear()
+    else:
+        _STORES._stores.pop(store_dir, None)
+
+
 def _decode_rles(rles: List[dict]) -> List[np.ndarray]:
     return [rle_codec.decode(r).astype(bool) for r in rles]
 

@@ -32,7 +32,8 @@ import pickle
 import struct
 from typing import Any, Dict, Iterator, List, Optional
 
-__all__ = ["ShardWriter", "PseudoLabelStore", "shard_name"]
+__all__ = ["ShardWriter", "PseudoLabelStore", "shard_name",
+           "mark_shard_complete", "store_complete"]
 
 _MAGIC = 0x5044524B  # "PDRK"
 _HEADER = struct.Struct("<II")
@@ -46,11 +47,51 @@ def _idx_path(shard_path: str) -> str:
     return shard_path + ".idx"
 
 
-def _scan_shard(path: str) -> Dict[str, tuple]:
-    """Rebuild the index by scanning; truncates a trailing partial record."""
+def mark_shard_complete(store_dir: str, shard_index: int, num_shards: int):
+    """Atomically drop a per-shard completion marker.
+
+    Producer stages call this when their shard's input list is exhausted.
+    Downstream continuous consumers (``dcrf --watch``) use ``store_complete``
+    to decide when no more records can arrive — the explicit-protocol
+    replacement for the reference's dCRF workers that poll forever
+    (continuously_postprocess_dcrf.py:121-127) and are killed by hand.
+    """
+    marker = os.path.join(
+        store_dir, shard_name(shard_index, num_shards) + ".done")
+    tmp = marker + ".tmp"
+    open(tmp, "wb").close()
+    os.replace(tmp, marker)
+
+
+def store_complete(store_dir: str) -> bool:
+    """True iff some shard total N has all N completion markers present."""
+    if not os.path.isdir(store_dir):
+        return False
+    totals: Dict[int, set] = {}
+    for n in os.listdir(store_dir):
+        if not n.endswith(".pdrec.done"):
+            continue
+        try:
+            stem = n[: -len(".pdrec.done")]  # shard-AAAAA-of-BBBBB
+            _, idx, _, total = stem.split("-")
+            totals.setdefault(int(total), set()).add(int(idx))
+        except ValueError:
+            continue
+    return any(len(done) >= total for total, done in totals.items())
+
+
+def _scan_shard(path: str, truncate: bool = False) -> Dict[str, tuple]:
+    """Rebuild the index by scanning.
+
+    ``truncate=True`` (the owning ShardWriter reopening after a crash) also
+    removes a trailing partial record so appends resume from a clean tail.
+    Readers must NOT truncate: a concurrent producer may be mid-append to
+    this shard (the ``dcrf --watch`` job shape), and a reader truncating its
+    in-flight record would corrupt the store. Readers just ignore the tail.
+    """
     index: Dict[str, tuple] = {}
     size = os.path.getsize(path)
-    with open(path, "r+b") as f:
+    with open(path, "r+b" if truncate else "rb") as f:
         offset = 0
         while offset + _HEADER.size <= size:
             f.seek(offset)
@@ -64,7 +105,7 @@ def _scan_shard(path: str) -> Dict[str, tuple]:
                 break
             index[record["image_id"]] = (offset, _HEADER.size + length)
             offset += _HEADER.size + length
-        if offset < size:
+        if truncate and offset < size:
             f.truncate(offset)
     return index
 
@@ -76,7 +117,7 @@ class ShardWriter:
         os.makedirs(store_dir, exist_ok=True)
         self.path = os.path.join(store_dir, shard_name(shard_index, num_shards))
         if os.path.exists(self.path):
-            self._index = _scan_shard(self.path)
+            self._index = _scan_shard(self.path, truncate=True)
         else:
             open(self.path, "wb").close()
             self._index = {}

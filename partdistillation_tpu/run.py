@@ -512,7 +512,7 @@ def cmd_propose(args):
 
     from .data.loader import batch_iterator
     from .data.mappers import ProposalGenerationMapper
-    from .data.pseudo_store import ShardWriter
+    from .data.pseudo_store import ShardWriter, mark_shard_complete
     from .models.meta_arch.proposal import normalize_images
     from .models.meta_arch.proposal_generation import (
         ProposalGenerationConfig, make_generation_fn)
@@ -568,6 +568,10 @@ def cmd_propose(args):
             ips = n_saved / (time.perf_counter() - t0)
             logger.info("stage 2: %d saved (%.2f img/s)", n_saved, ips)
     writer.close()
+    # completion marker: lets `dcrf --watch` (running concurrently, the
+    # reference's continuously_postprocess_dcrf job shape) terminate once
+    # every propose shard is done and drained
+    mark_shard_complete(cfg.paths.proposals, shard, num_shards)
     print(json.dumps({"stage": "propose", "saved": n_saved,
                       "images_per_sec": round(n_saved / max(time.perf_counter() - t0, 1e-9), 3)}))
 
@@ -583,16 +587,13 @@ def cmd_dcrf(args):
     from .data.loader import batch_iterator
     from .data.mappers import PartRankingMapper
     from .data.datasets.imagenet import load_imagenet_with_proposals
-    from .data.pseudo_store import ShardWriter
+    from .data.pseudo_store import ShardWriter, store_complete
     from .ops.dense_crf import DenseCRFParams, dense_crf, unary_from_masks
     from .utils import rle as rle_codec
 
     shard, num_shards = _shard_id(args)
     base = _imagenet_items(cfg, args)
-    items = load_imagenet_with_proposals(base, cfg.paths.proposals)
     writer = ShardWriter(cfg.paths.proposals_dcrf, shard, num_shards)
-    items = [it for it in items if it["image_id"] not in writer]
-    logger.info("stage 2b dCRF: %d images", len(items))
 
     params = DenseCRFParams(gt_prob=args.gt_prob, iters=args.iters,
                             bilateral_sxy=args.bilateral_sxy,
@@ -609,30 +610,69 @@ def cmd_dcrf(args):
     refine_fn = jax.jit(jax.vmap(refine))
     mapper = PartRankingMapper(image_size=cfg.data.image_size, capacity=capacity)
 
-    n_saved, n_batches, t0 = 0, 0, time.perf_counter()
-    for batch in batch_iterator(items, mapper, cfg.data.batch_size,
-                                num_workers=cfg.data.num_workers):
-        refined, valid = refine_fn(jnp.asarray(batch["image"]),
-                                   jnp.asarray(batch["part_masks"]),
-                                   jnp.asarray(batch["part_valid"]))
-        refined, valid = np.asarray(refined), np.asarray(valid)
-        for b in range(refined.shape[0]):
-            if not batch["batch_valid"][b]:
-                continue
-            rles = [rle_codec.encode(refined[b, k]) for k in range(capacity)
-                    if valid[b, k]]
-            if not rles:
-                continue
-            union = refined[b][valid[b]].any(0)
-            n_saved += int(writer.write({
-                "image_id": str(batch["image_id"][b]),
-                "part_masks": rles,
-                "object_ratio": float(union.mean()),
-                "object_class": int(batch["class_id"][b]),
-            }))
-        n_batches += 1
-        if n_batches % 20 == 0:
-            writer.flush()
+    # images whose refinement produced no surviving mask leave no record
+    # (downstream joins skip them anyway); remember them so --watch rescans
+    # don't redo the same dCRF forever
+    refined_empty: set = set()
+
+    def one_pass() -> int:
+        """Scan the upstream store and refine everything not yet written."""
+        from .data.mappers import invalidate_store_cache
+
+        # the mapper-side store cache must see late-arriving shards
+        invalidate_store_cache(cfg.paths.proposals)
+        items = load_imagenet_with_proposals(base, cfg.paths.proposals)
+        items = [it for it in items if it["image_id"] not in writer
+                 and it["image_id"] not in refined_empty]
+        if not items:
+            return 0
+        logger.info("stage 2b dCRF: %d images", len(items))
+        n_saved, n_batches = 0, 0
+        for batch in batch_iterator(items, mapper, cfg.data.batch_size,
+                                    num_workers=cfg.data.num_workers):
+            refined, valid = refine_fn(jnp.asarray(batch["image"]),
+                                       jnp.asarray(batch["part_masks"]),
+                                       jnp.asarray(batch["part_valid"]))
+            refined, valid = np.asarray(refined), np.asarray(valid)
+            for b in range(refined.shape[0]):
+                if not batch["batch_valid"][b]:
+                    continue
+                rles = [rle_codec.encode(refined[b, k]) for k in range(capacity)
+                        if valid[b, k]]
+                if not rles:
+                    refined_empty.add(str(batch["image_id"][b]))
+                    continue
+                union = refined[b][valid[b]].any(0)
+                n_saved += int(writer.write({
+                    "image_id": str(batch["image_id"][b]),
+                    "part_masks": rles,
+                    "object_ratio": float(union.mean()),
+                    "object_class": int(batch["class_id"][b]),
+                }))
+            n_batches += 1
+            if n_batches % 20 == 0:
+                writer.flush()
+        writer.flush()
+        return n_saved
+
+    # --watch: run concurrently with stage 2, like the reference's dCRF
+    # worker farm (continuously_postprocess_dcrf.py:121-127 `while True` +
+    # skip-if-done) — but with a termination protocol: exit once every
+    # upstream propose shard has dropped its completion marker and a final
+    # rescan finds nothing new.
+    n_saved, t0 = 0, time.perf_counter()
+    while True:
+        n_saved += one_pass()
+        if not args.watch:
+            break
+        if store_complete(cfg.paths.proposals):
+            # upstream writers close (flush) before dropping their markers,
+            # so one final drain pass sees every record
+            n_saved += one_pass()
+            logger.info("stage 2b dCRF --watch: upstream complete and "
+                        "drained; exiting")
+            break
+        time.sleep(args.watch_interval)
     writer.close()
     print(json.dumps({"stage": "dcrf", "saved": n_saved,
                       "images_per_sec": round(n_saved / max(time.perf_counter() - t0, 1e-9), 3)}))
@@ -1881,6 +1921,12 @@ def build_parser():
     p.add_argument("--bilateral-stride", type=int, default=None,
                    help="window-grid cell size in px (default sxy/2.5; "
                         "smaller = finer/slower — ops/dense_crf.py)")
+    p.add_argument("--watch", action="store_true",
+                   help="run continuously alongside stage 2 (the reference's "
+                        "dCRF worker-farm shape): rescan for new proposals "
+                        "until every propose shard marks completion")
+    p.add_argument("--watch-interval", type=float, default=10.0,
+                   help="seconds between --watch rescans")
     p.set_defaults(fn=cmd_dcrf)
 
     p = sub.add_parser("train-proposal", help="stage 3: proposal learning")

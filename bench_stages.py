@@ -147,13 +147,55 @@ def bench_stage1(batch_size: int = 8, image_size: int = 640, topk: int = 10,
     ips_clip = batch_size * iters / (time.perf_counter() - t0)
 
     ips = 1.0 / (1.0 / ips_det + 1.0 / ips_clip)
+
+    # end-to-end host loop (the `detect` CLI): double-buffered pipelining —
+    # JPEG loads, mask readback, RLE encode and store writes for batch i
+    # overlap batch i+1's device programs. The device ceiling is the serial
+    # combination above (detector + scorer share one chip; their device
+    # times add) — this measures how close the real CLI loop gets to it.
+    import tempfile
+
+    from PIL import Image
+
+    from partdistillation_tpu.models.meta_arch.labeling import (
+        LabelingConfig, run_labeling_batched)
+
+    tmpd = tempfile.mkdtemp(prefix="s1bench_")
+    n_images = batch_size * iters
+    items = []
+    for i in range(n_images):
+        p = os.path.join(tmpd, f"im{i:04d}.jpg")
+        Image.fromarray(images_np[i % batch_size]).save(p, quality=90)
+        items.append({"image_id": f"im{i:04d}", "file_name": p,
+                      "class_id": 0, "class_code": "n00000000"})
+
+    class _NullWriter:
+        def __contains__(self, iid):
+            return False
+
+        def write(self, rec):
+            return True
+
+        def flush(self):
+            pass
+
+    lcfg = LabelingConfig(topk=topk)
+    run_labeling_batched(detection_fn, params, items[:batch_size],
+                         _NullWriter(), lcfg, region_scorer=scorer,
+                         image_size=image_size, batch_size=batch_size)  # warm
+    t0 = time.perf_counter()
+    stats = run_labeling_batched(detection_fn, params, items, _NullWriter(),
+                                 lcfg, region_scorer=scorer,
+                                 image_size=image_size, batch_size=batch_size)
+    ips_e2e = (stats["saved"] + stats["empty"]) / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "stage1_detect_images_per_sec_per_chip",
-        "value": round(ips, 3),
-        "unit": ("images/sec/chip (detector "
-                 f"{ips_det:.1f} + {topk}-region CLIP scoring {ips_clip:.1f}, "
-                 "serial)"),
-        "vs_baseline": round(ips / 3.0, 3),
+        "value": round(ips_e2e, 3),
+        "unit": ("images/sec/chip (end-to-end pipelined CLI loop; device "
+                 f"ceiling {ips:.1f} = detector {ips_det:.1f} + {topk}-region "
+                 f"CLIP scoring {ips_clip:.1f} serial on one chip)"),
+        "vs_baseline": round(ips_e2e / 3.0, 3),
     }))
 
 

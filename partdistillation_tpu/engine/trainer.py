@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..parallel.mesh import tree_shardings
 from .optim import OptimizerConfig, build_optimizer
 
-__all__ = ["TrainState", "Trainer"]
+__all__ = ["TrainState", "Trainer", "build_train_step"]
 
 logger = logging.getLogger("partdistillation_tpu")
 
@@ -37,6 +37,29 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     rng: jax.Array
+
+
+def build_train_step(tx, loss_fn) -> Callable:
+    """The (un-jitted) train-step body shared by Trainer and the AOT
+    production-sharding checks (tests/test_aot_production_sharding.py):
+    forward + criterion, backward, optimizer update, metrics."""
+
+    def step(state: TrainState, batch):
+        rng, key = jax.random.split(state.rng)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        metrics = dict(metrics)
+        metrics["total_loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return step
 
 
 @dataclasses.dataclass
@@ -86,24 +109,7 @@ class Trainer:
             )
 
     def _build_step(self):
-        tx = self.tx
-        loss_fn = self.loss_fn
-
-        def step(state: TrainState, batch):
-            rng, key = jax.random.split(state.rng)
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, key
-            )
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(
-                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
-            )
-            metrics = dict(metrics)
-            metrics["total_loss"] = loss
-            metrics["grad_norm"] = optax.global_norm(grads)
-            return new_state, metrics
-
+        step = build_train_step(self.tx, self.loss_fn)
         donate = (0,) if self.donate else ()
         if self.mesh is not None:
             batch_sh = NamedSharding(self.mesh, P("data"))

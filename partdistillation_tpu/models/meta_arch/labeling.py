@@ -285,16 +285,23 @@ def clip_region_scorer_jax(vision_apply: Callable, text_emb: np.ndarray,
         return ids, probs
 
     if crop_backend == "device":
-        def scorer_batched(images, masks):
-            """(B,H,W,3) x (B,K,H,W) -> ((B,K) ids, (B,K) probs), one
-            device dispatch for the whole batch (device arrays pass
-            through without re-upload)."""
-            ci, cp = score_device_batch(
+        def scorer_batched_async(images, masks):
+            """(B,H,W,3) x (B,K,H,W) -> ((B,K) ids, (B,K) probs) as DEVICE
+            arrays: dispatch only, no host sync — the pipelined stage-1 host
+            loop reads them back one batch later, hiding readback latency
+            behind the next batch's detector."""
+            return score_device_batch(
                 vision_params, text_host,
                 jnp.asarray(images, jnp.float32), jnp.asarray(masks))
+
+        def scorer_batched(images, masks):
+            """Sync wrapper: one device dispatch for the whole batch (device
+            arrays pass through without re-upload)."""
+            ci, cp = scorer_batched_async(images, masks)
             return np.asarray(ci), np.asarray(cp)
 
         scorer.batched = scorer_batched
+        scorer.batched_async = scorer_batched_async
     return scorer
 
 
@@ -526,11 +533,20 @@ def run_labeling_batched(
     batch_size: int = 8,
     num_workers: int = 4,
 ) -> Dict[str, int]:
-    """Stage-1 host loop with the segmenter forward BATCHED over
-    ``batch_size`` images (one jit dispatch per batch instead of per image —
-    the per-image path measured 3.4x slower at bs8 on the stage-1 bench) and
-    image loading in a thread pool. Detection outputs stay on device for the
-    region scorer (no host round trip of the masks)."""
+    """Stage-1 host loop, software-pipelined.
+
+    Device work is BATCHED (one detector dispatch + one region-scorer
+    dispatch per ``batch_size`` images; the per-image path measured 3.4x
+    slower at bs8) and double-buffered: batch i+1's image loading and both
+    device dispatches are issued BEFORE batch i's results are read back, so
+    all host work (PIL loads, mask readback, RLE encode, store writes)
+    overlaps device compute instead of stalling it. On one chip the detector
+    and scorer programs still execute serially (their device times add —
+    that sum is the throughput ceiling); what pipelining removes is the
+    host-serialization gap between dispatches, which is the entire
+    difference between the serial-loop CLI and the device ceiling.
+    Reference job shape: sh_files/detic/run.sh:10-31.
+    """
     from concurrent.futures import ThreadPoolExecutor
 
     from ...data.transforms import load_image, resize_image
@@ -546,46 +562,78 @@ def run_labeling_batched(
             return None
         return resize_image(image, (image_size, image_size))
 
+    score_async = (region_scorer.batched_async
+                   if region_scorer is not None
+                   and hasattr(region_scorer, "batched_async") else
+                   region_scorer.batched
+                   if region_scorer is not None
+                   and hasattr(region_scorer, "batched") else None)
+
+    def dispatch(chunk, images):
+        """Issue device work for one chunk; returns the in-flight batch."""
+        nonlocal n_empty
+        keep = [i for i, im in enumerate(images) if im is not None]
+        n_empty += len(chunk) - len(keep)
+        if not keep:
+            return None
+        batch = np.stack([images[i] for i in keep]).astype(np.float32)
+        pad = batch_size - len(keep)
+        if pad:  # fixed shape -> one compiled program
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
+        batch_dev = jnp.asarray(batch)
+        out = detection_fn(params, batch_dev)
+        ids_b = probs_b = None
+        if score_async is not None:
+            # one device dispatch scores every region of the batch
+            ids_b, probs_b = score_async(batch_dev, out["masks"])
+        return {"chunk": chunk, "keep": keep, "batch_dev": batch_dev,
+                "out": out, "ids": ids_b, "probs": probs_b}
+
+    def drain(p):
+        """Read one in-flight batch back and save it (host-side work)."""
+        nonlocal n_saved, n_empty
+        out = p["out"]
+        ids_b = np.asarray(p["ids"]) if p["ids"] is not None else None
+        probs_b = np.asarray(p["probs"]) if p["probs"] is not None else None
+        for bi, i in enumerate(p["keep"]):
+            item = p["chunk"][i]
+            masks_dev = out["masks"][bi]
+            scores = np.asarray(out["scores"][bi], np.float32)
+            valid = np.asarray(out["valid"][bi])
+            if ids_b is not None:
+                class_ids, probs = ids_b[bi], probs_b[bi]
+                scores = scores * probs
+            elif region_scorer is not None:
+                class_ids, probs = region_scorer(p["batch_dev"][bi], masks_dev)
+                scores = scores * probs
+            else:
+                class_ids = np.full(len(scores), -1, np.int32)
+            det = {"masks": np.asarray(masks_dev)[valid],
+                   "scores": scores[valid],
+                   "class_ids": np.asarray(class_ids, np.int32)[valid]}
+            if _save_detection(det, item, writer, cfg, rle_codec):
+                n_saved += 1
+            else:
+                n_empty += 1
+
     pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
     try:
-        for s in range(0, len(todo), batch_size):
-            chunk = todo[s : s + batch_size]
-            images = list(pool.map(load, chunk))
-            keep = [i for i, im in enumerate(images) if im is not None]
-            n_empty += len(chunk) - len(keep)
-            if not keep:
-                continue
-            batch = np.stack([images[i] for i in keep]).astype(np.float32)
-            pad = batch_size - len(keep)
-            if pad:  # fixed shape -> one compiled program
-                batch = np.concatenate(
-                    [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
-            batch_dev = jnp.asarray(batch)
-            out = detection_fn(params, batch_dev)
-            ids_b = probs_b = None
-            if region_scorer is not None and hasattr(region_scorer, "batched"):
-                # one device dispatch scores every region of the batch
-                ids_b, probs_b = region_scorer.batched(batch_dev, out["masks"])
-            for bi, i in enumerate(keep):
-                item = chunk[i]
-                masks_dev = out["masks"][bi]
-                scores = np.asarray(out["scores"][bi], np.float32)
-                valid = np.asarray(out["valid"][bi])
-                if ids_b is not None:
-                    class_ids, probs = ids_b[bi], probs_b[bi]
-                    scores = scores * probs
-                elif region_scorer is not None:
-                    class_ids, probs = region_scorer(batch_dev[bi], masks_dev)
-                    scores = scores * probs
-                else:
-                    class_ids = np.full(len(scores), -1, np.int32)
-                det = {"masks": np.asarray(masks_dev)[valid],
-                       "scores": scores[valid],
-                       "class_ids": np.asarray(class_ids, np.int32)[valid]}
-                if _save_detection(det, item, writer, cfg, rle_codec):
-                    n_saved += 1
-                else:
-                    n_empty += 1
+        chunks = [todo[s : s + batch_size]
+                  for s in range(0, len(todo), batch_size)]
+        # prefetch chunk 0's images while nothing else is running
+        futures = [pool.submit(load, it) for it in chunks[0]] if chunks else []
+        pending = None
+        for ci, chunk in enumerate(chunks):
+            images = [f.result() for f in futures]
+            if ci + 1 < len(chunks):  # prefetch next chunk's images
+                futures = [pool.submit(load, it) for it in chunks[ci + 1]]
+            cur = dispatch(chunk, images)  # async: device starts now
+            if pending is not None:
+                drain(pending)  # host work for batch i-1 overlaps batch i
+            pending = cur
+        if pending is not None:
+            drain(pending)
     finally:
         pool.shutdown()
     writer.flush()

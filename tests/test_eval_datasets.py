@@ -155,6 +155,7 @@ def test_pascal_rank_save_rejected(pascal_env, capsys):
                   "--set", *pascal_env["overrides"]])
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_pascal_train_with_periodic_eval(pascal_env, capsys):
     """eval_every runs the stage evaluator mid-training and logs eval/*
     scalars to metrics.jsonl (TEST.EVAL_PERIOD parity, train_multi.sh:61)."""

@@ -174,6 +174,7 @@ class TestFusedWindowAttention:
         np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
                                    atol=1e-5, rtol=1e-5)
 
+    @pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
     def test_swin_fused_flag_equivalence(self):
         """SwinTransformer(fused_attention=True) == (False) on CPU, both with
         a shifted block in play."""

@@ -38,6 +38,7 @@ def tiny_segmenter(num_classes=1, num_object_classes=0, num_queries=8):
     )
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_swin_output_shapes():
     cfg = tiny_swin()
     model = SwinTransformer(cfg)
@@ -53,6 +54,7 @@ def test_swin_output_shapes():
         assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_swin_nondivisible_input():
     cfg = tiny_swin()
     model = SwinTransformer(cfg)
@@ -86,6 +88,7 @@ def test_position_embedding_matches_reference_formula():
     np.testing.assert_allclose(pe, want, atol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_segmenter_forward_shapes():
     cfg = tiny_segmenter()
     model = MaskFormerSegmenter(cfg)
@@ -99,6 +102,7 @@ def test_segmenter_forward_shapes():
     assert np.isfinite(np.asarray(out["pred_masks"])).all()
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_segmenter_part_distillation_head():
     cfg = tiny_segmenter(num_object_classes=10)
     model = MaskFormerSegmenter(cfg)
@@ -123,6 +127,7 @@ def test_segmenter_part_distillation_head():
     assert gk.shape == (32, 10 * 4 + 1)
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_segmenter_train_grads_finite():
     cfg = tiny_segmenter()
     model = MaskFormerSegmenter(cfg)

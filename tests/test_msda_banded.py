@@ -62,6 +62,7 @@ def test_band_geometry_banding_kicks_in():
     assert all(0 <= st <= 32 - band_rows for st in starts)
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_banded_matches_dense_within_radius():
     value, loc, attw = _case(max_off_px=1.0)
     dense = ms_deform_attn(value, SHAPES, loc, attw, mode="onehot_mxu")
@@ -73,6 +74,7 @@ def test_banded_matches_dense_within_radius():
     assert float(frac) == 0.0
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_banded_at_offset_init_radius():
     """The deformable-DETR init caps offsets at n_points pixels; radius
     n_points + 1 covers it (attention.py:_sampling_offset_bias_init)."""
@@ -84,6 +86,7 @@ def test_banded_at_offset_init_radius():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_oob_counter_flags_escaped_taps():
     value, loc, attw = _case(max_off_px=1.0, seed=2)
     # push one query's y taps 10 rows away at the largest level
@@ -98,6 +101,7 @@ def test_oob_counter_flags_escaped_taps():
     assert not np.allclose(np.asarray(banded), np.asarray(dense), atol=1e-4)
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_banded_gradients_match_dense():
     value, loc, attw = _case(max_off_px=1.0, b=1, m=1, p=2, d=4, seed=3)
 
@@ -175,6 +179,7 @@ def test_band_geometry_2d_blocks_both_axes():
     assert per_query_2d * 1.5 < per_query_1d
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_banded2d_matches_dense_within_radius():
     value, loc, attw = _case(max_off_px=1.0)
     dense = ms_deform_attn(value, SHAPES, loc, attw, mode="onehot_mxu")
@@ -197,6 +202,7 @@ def test_banded2d_radius4_exact_at_production_offset_cap():
     assert float(frac) == 0.0
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_banded2d_gradients_match_dense():
     value, loc, attw = _case(max_off_px=1.0, b=1, m=1, p=2, d=4, seed=3)
 

@@ -1,10 +1,12 @@
 """Profiler harness: trace capture + summary, and the `profile` CLI."""
 
+import pytest
 import json
 
 from partdistillation_tpu import run as cli
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_profile_cli_prints_breakdown(tmp_path, capsys, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cli.main(["profile", "--tiny", "--steps", "2", "--num-queries", "8",

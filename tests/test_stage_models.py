@@ -1,5 +1,6 @@
 """Stage-2/4/5 meta-model core tests on tiny configs."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,6 +48,7 @@ def tiny_seg(num_classes=1, num_object_classes=0, num_parts=4, q=12):
     )
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_proposal_generation_shapes_and_validity():
     cfg = ProposalGenerationConfig(swin=tiny_swin(), feature_keys=("res3", "res4"),
                                    num_clusters=4, kmeans_iters=10)
@@ -111,6 +113,7 @@ def _ranking_setup():
     return cfg, params, batch
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_part_ranking_cluster_and_label():
     cfg, params, batch = _ranking_setup()
     cluster = jax.jit(make_cluster_fn(cfg))
@@ -132,6 +135,7 @@ def test_part_ranking_cluster_and_label():
     assert out3["pred_masks"].shape == (2, 3, 32, 32)
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered out of the fast gate (VERDICT r3 #8)
 def test_part_distillation_loss_and_inference():
     seg = tiny_seg(num_classes=4, num_object_classes=6, num_parts=4, q=12)
     cfg = PartDistillationConfig(

@@ -52,10 +52,12 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
     from partdistillation_tpu.models.transformer_decoder import TransformerDecoderConfig
 
     seg = SegmenterConfig(
-        # BENCH_FUSED_LN=0: A/B knob for the Pallas fused LayerNorm
+        # BENCH_FUSED_LN=0 / BENCH_FUSED_MLP=1: A/B knobs for the Pallas
+        # fused LayerNorm / fused LN+MLP half-block
         swin=swin_large_config(
             dtype=dtype,
-            fused_layernorm=os.environ.get("BENCH_FUSED_LN", "1") == "1"),
+            fused_layernorm=os.environ.get("BENCH_FUSED_LN", "1") == "1",
+            fused_mlp=os.environ.get("BENCH_FUSED_MLP", "0") == "1"),
         # banded MSDA is exact here: the encoder is FROZEN (the stage-3
         # launch config), so offsets stay at the deformable-DETR init whose
         # max magnitude is n_points=4 level pixels < radius 6; measured
@@ -154,23 +156,40 @@ def main():
     # halves on OOM below. BENCH_BS: A/B override.
     target_batch = int(os.environ.get("BENCH_BS", "16"))
     batch_size = target_batch
+
+    t_start = time.perf_counter()
+
+    def phase(name):
+        # per-phase wall marks on stderr: a wedged run (tunnel stall, compile
+        # service hang) must show WHERE it stopped, not just time out
+        print(f"[bench +{time.perf_counter() - t_start:7.1f}s] {name}",
+              file=sys.stderr, flush=True)
+
     while batch_size >= 1:
         try:
+            phase(f"build bs{batch_size}")
             train_step, params, opt_state, batch = build(batch_size)
             key = jax.random.PRNGKey(1)
-            # compile + warmup
+            phase("compile + first step")
             params, opt_state, loss = train_step(params, opt_state, batch, key)
-            jax.block_until_ready(loss)
+            # scalar readback, NOT block_until_ready: over the axon tunnel
+            # block_until_ready returns before the device is drained (round-1
+            # finding, PERF.md timing methodology) — an under-waited warmup
+            # leaks work into the timed window and deflates the number
+            float(loss)
+            phase("warmup")
             for _ in range(2):
                 params, opt_state, loss = train_step(params, opt_state, batch, key)
-            jax.block_until_ready(loss)
+            float(loss)
 
-            n_steps = 10
+            n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+            phase(f"measure {n_steps} steps")
             t0 = time.perf_counter()
             for _ in range(n_steps):
                 params, opt_state, loss = train_step(params, opt_state, batch, key)
-            jax.block_until_ready(loss)
+            float(loss)
             dt = time.perf_counter() - t0
+            phase("done")
             ips = batch_size * n_steps / dt
             result = {
                 "metric": "stage3_proposal_train_images_per_sec_per_chip",

@@ -57,6 +57,12 @@ class SwinConfig:
     # bf16-stat nn.LayerNorm path it replaces); falls back to the XLA
     # composition off-TPU.
     fused_layernorm: bool = True
+    # Fused (Pallas) LN+MLP+residual half-block on TPU (ops/fused_mlp.py):
+    # token-tiled, MLP weight pair VMEM-pinned; applies where the weights fit
+    # (res2-res4; res5's C=1536 pair exceeds VMEM and stays on XLA). Forward-
+    # only (XLA-composition VJP) — the production trunks are frozen. Default
+    # off pending the on-chip A/B (PERF.md round 4).
+    fused_mlp: bool = False
 
     @property
     def num_layers(self) -> int:
@@ -282,6 +288,29 @@ class LN(nn.Module):
         return y * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
+class _LNParams(nn.Module):
+    """Param-holder with LN's exact tree ({scale, bias} at this name) for
+    block-level fused kernels that consume the raw parameters."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        return (self.param("scale", nn.initializers.ones, (c,)),
+                self.param("bias", nn.initializers.zeros, (c,)))
+
+
+class _DenseParams(nn.Module):
+    """Param-holder with nn.Dense's exact tree ({kernel, bias}) and default
+    initializers, for block-level fused kernels."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, c: int):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (c, self.features)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -294,6 +323,7 @@ class SwinBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_attention: bool = True
     fused_layernorm: bool = False
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
@@ -337,9 +367,24 @@ class SwinBlock(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, deterministic)
 
+        hidden = int(self.dim * self.mlp_ratio)
+        # fused LN+MLP+residual (one Pallas program per token tile, weights
+        # VMEM-pinned — ops/fused_mlp.py). DropPath multiplies the branch
+        # BEFORE the fused residual add, so only the identity-DropPath cases
+        # take the kernel; param trees are identical either way.
+        if self.fused_mlp and (deterministic or self.drop_path == 0.0):
+            from ..ops.fused_mlp import fused_ln_mlp
+
+            scale, bias = _LNParams(name="norm2")(c)
+            w1, b1 = _DenseParams(hidden, name="mlp_fc1")(c)
+            w2, b2 = _DenseParams(self.dim, name="mlp_fc2")(hidden)
+            d = self.dtype
+            return fused_ln_mlp(x.astype(d), scale.astype(d), bias.astype(d),
+                                w1.astype(d), b1.astype(d),
+                                w2.astype(d), b2.astype(d))
         y = LN(epsilon=1e-5, dtype=self.dtype, fused=self.fused_layernorm,
                name="norm2")(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
@@ -402,6 +447,7 @@ class SwinTransformer(nn.Module):
                     dtype=cfg.dtype,
                     fused_attention=cfg.fused_attention,
                     fused_layernorm=cfg.fused_layernorm,
+                    fused_mlp=cfg.fused_mlp,
                     name=f"stage{stage}_block{blk}",
                 )(x, deterministic=not train)
                 block_idx += 1

@@ -1,0 +1,141 @@
+"""Fused Swin MLP half-block (Pallas/TPU): LN -> fc1 -> GELU -> fc2 -> +residual.
+
+One program per token tile keeps the normalized activations and the (T, 4C)
+hidden entirely VMEM-resident, with both MLP weight matrices pinned in VMEM
+across grid steps (constant block index -> fetched once). Targets the frozen
+Swin-L trunk's res2-res4 stages (reference swin.py:178-301 Mlp +
+SwinTransformerBlock tail); res5 (C=1536) exceeds VMEM for the weight pair
+and stays on the XLA composition.
+
+The trunk is FROZEN in every production stage (train_multi.sh:33-38,
+train.sh:8), so this is a forward-only optimization; the backward falls back
+to the exact XLA-composition VJP (never taken under stop_gradient).
+
+Numerics: LN statistics in f32 (like ops/layer_norm.py), matmul
+accumulation f32, exact (erf) GELU in f32 — at bf16 weights this is slightly
+MORE accurate than the unfused bf16-stat path it replaces.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["fused_ln_mlp", "ln_mlp_reference"]
+
+_LANE = 128
+
+
+def ln_mlp_reference(x, scale, bias, w1, b1, w2, b2, eps=1e-5,
+                     dtype=jnp.bfloat16):
+    """XLA composition with the SwinBlock's exact numerics (LN stats and
+    matmuls in ``dtype`` except f32 accumulation via preferred type)."""
+    xd = x.astype(dtype)
+    mean = jnp.mean(xd, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xd), axis=-1, keepdims=True) - mean * mean
+    y = (xd - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(dtype) + bias.astype(dtype)
+    h = (y @ w1.astype(dtype) + b1.astype(dtype)).astype(dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    o = (h @ w2.astype(dtype) + b2.astype(dtype)).astype(dtype)
+    return x + o
+
+
+def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+            eps: float):
+    x = x_ref[...]                       # (T, C) compute dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - mean * mean
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    h = jax.lax.dot_general(xn.astype(x.dtype), w1_ref[...],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    # exact GELU in f32 (the model uses approximate=False)
+    h = 0.5 * h * (1.0 + jax.lax.erf(h * (2.0 ** -0.5)))
+    y = jax.lax.dot_general(h.astype(x.dtype), w2_ref[...],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + b2_ref[0].astype(jnp.float32)
+    o_ref[...] = x + y.astype(x.dtype)
+
+
+def _fwd_pallas(x, scale, bias, w1, b1, w2, b2, eps, token_tile,
+                interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, c = x.shape
+    f = w1.shape[1]
+    pad = (-n) % token_tile
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    npad = xp.shape[0]
+
+    row = lambda a: a.reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((npad, c), x.dtype),
+        grid=(npad // token_tile,),
+        in_specs=[
+            pl.BlockSpec((token_tile, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((token_tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, row(scale), row(bias), w1, row(b1), w2, row(b2))
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused(x, scale, bias, w1, b1, w2, b2, eps, token_tile):
+    return _fwd_pallas(x, scale, bias, w1, b1, w2, b2, eps, token_tile)
+
+
+def _fused_fwd(x, scale, bias, w1, b1, w2, b2, eps, token_tile):
+    return (_fwd_pallas(x, scale, bias, w1, b1, w2, b2, eps, token_tile),
+            (x, scale, bias, w1, b1, w2, b2))
+
+
+def _fused_bwd(eps, token_tile, res, g):
+    # exact XLA-composition VJP (recompute); never taken for the frozen
+    # trunk (stop_gradient), kept for correctness elsewhere
+    x, scale, bias, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: ln_mlp_reference(*a, eps=eps, dtype=x.dtype),
+        x, scale, bias, w1, b1, w2, b2)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_ln_mlp(x, scale, bias, w1, b1, w2, b2, eps: float = 1e-5,
+                 token_tile: int = 256):
+    """x: (..., C) -> (..., C), computing x + fc2(gelu(fc1(LN(x)))).
+
+    Dispatches to the Pallas kernel on TPU when the weight pair fits VMEM
+    (C <= 1024 covers Swin-L res2-res4); XLA composition otherwise.
+    """
+    c = x.shape[-1]
+    f = w1.shape[1]
+    # VMEM budget: both weights + one (T, F) f32 hidden + x/out tiles
+    vmem = (c * f + f * c) * x.dtype.itemsize + token_tile * f * 4 \
+        + 2 * token_tile * c * x.dtype.itemsize
+    if jax.default_backend() != "tpu" or vmem > 14 * 2**20:
+        return ln_mlp_reference(x, scale, bias, w1, b1, w2, b2, eps=eps,
+                                dtype=x.dtype)
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, c)
+    out = _fused(flat, scale, bias, w1, b1, w2, b2, eps, token_tile)
+    return out.reshape(*lead, c)

@@ -138,6 +138,8 @@ def test_pipeline_learns_end_to_end(learn_env, capsys):
     # AR@k is percent. Floor: trained must beat random weights by a wide
     # margin AND clear an absolute bar (halves are trivially separable).
     k = max((int(key[3:]) for key in trained if key.startswith("AR@")))
+    print(f"\n[learns] stage-3 AR@{k}: trained={trained[f'AR@{k}']:.1f} "
+          f"chance={chance[f'AR@{k}']:.1f}")
     assert trained[f"AR@{k}"] >= 25.0, (trained, chance)
     assert trained[f"AR@{k}"] >= chance[f"AR@{k}"] + 10.0, (trained, chance)
 
@@ -158,5 +160,7 @@ def test_pipeline_learns_end_to_end(learn_env, capsys):
     trained5 = _run([*ev_args, "--trainer-checkpoint",
                      str(tmp / "ckpt/part_distillation")], capsys,
                     stage="distill-eval")
+    print(f"[learns] stage-5 C-mIoU: trained={trained5['C-mIoU']:.3f} "
+          f"chance={chance5['C-mIoU']:.3f}")
     assert trained5["C-mIoU"] >= 0.25, (trained5, chance5)
     assert trained5["C-mIoU"] >= chance5["C-mIoU"] + 0.08, (trained5, chance5)

@@ -43,6 +43,19 @@ def ln_mlp_reference(x, scale, bias, w1, b1, w2, b2, eps=1e-5,
     return x + o
 
 
+def _erf_f32(x):
+    """Abramowitz & Stegun 7.1.26 polynomial erf, |err| <= 1.5e-7 — far
+    below bf16 activation resolution. Mosaic has no erf primitive
+    (NotImplementedError: 'erf' in Pallas TPU lowering), so exact-GELU
+    inside the kernel goes through this."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
             eps: float):
     x = x_ref[...]                       # (T, C) compute dtype
@@ -55,8 +68,8 @@ def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = h + b1_ref[0].astype(jnp.float32)
-    # exact GELU in f32 (the model uses approximate=False)
-    h = 0.5 * h * (1.0 + jax.lax.erf(h * (2.0 ** -0.5)))
+    # exact GELU in f32 (the model uses approximate=False; polynomial erf)
+    h = 0.5 * h * (1.0 + _erf_f32(h * (2.0 ** -0.5)))
     y = jax.lax.dot_general(h.astype(x.dtype), w2_ref[...],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)

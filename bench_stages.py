@@ -455,7 +455,11 @@ def bench_stage5(batch_size: int = 8, image_size: int = 640,
                                          msda_band_radius=4),
         decoder=TransformerDecoderConfig(
             num_classes=num_parts, num_queries=200, dec_layers=9, dtype=dtype,
-            num_object_classes=num_object_classes, num_parts=num_parts),
+            num_object_classes=num_object_classes, num_parts=num_parts,
+            # production default (run.py): scatter-free head slice — the
+            # gather head's scatter-add grad faults the worker under
+            # donation (tools/stage5_donation_harness.py, PERF.md round 4)
+            head_slice="onehot"),
         freeze_backbone=True,
         freeze_pixel_decoder=True,
     )
@@ -495,12 +499,10 @@ def bench_stage5(batch_size: int = 8, image_size: int = 640,
     opt_state = tx.init(params)
     loss_fn = make_loss_fn(cfg)
 
-    # NOT donated: the donated variant of this program (giant head + banded
-    # MSDA) crashes the remote TPU worker deterministically at first
-    # execution — 2/2 attempts incl. a fresh worker ("TPU worker process
-    # crashed ... kernel fault"), while the identical non-donated program
-    # runs. bench.py's stage-3 step donates fine; PERF.md negative results.
-    @jax.jit
+    # donated, like the production Trainer: safe with the onehot head slice
+    # (the round-3 fault was the GATHER head's scatter-add grad under
+    # donation — tools/stage5_donation_harness.py, PERF.md round 4)
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, key):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, key)

@@ -77,12 +77,12 @@ class Trainer:
     # None = fully replicated. See parallel.mesh.giant_head_rule for the
     # stage-5 model-axis sharding of the 176k-way part classifier.
     sharding_rules: Optional[Callable] = None
-    # Donate the TrainState to the step (in-place buffer reuse). Keep True
-    # except for the single-chip stage-5 program (22k-class gathered head +
-    # banded MSDA), whose DONATED form crashes the TPU worker at first
-    # execution ("kernel fault", 3/3 donated vs 3/3 clean non-donated —
-    # PERF.md round-3 negative results); the non-donated pass-through copies
-    # fully overlap compute there.
+    # Donate the TrainState to the step (in-place buffer reuse). Safe to
+    # keep True everywhere since round 4: the stage-5 donation kernel fault
+    # was root-caused to the GATHER head's scatter-add gradient into the
+    # unsharded 176k-column kernel under donation, and the production config
+    # now uses the scatter-free onehot head slice there
+    # (TransformerDecoderConfig.head_slice, tools/stage5_donation_harness.py).
     donate: bool = True
 
     def __post_init__(self):

@@ -55,6 +55,17 @@ class TransformerDecoderConfig:
     # PartDistillation head
     num_object_classes: int = 0  # >0 enables the per-object-class part head
     num_parts: int = 8
+    # How the giant head slices each image's P+1 live columns:
+    #   "gather": jnp.take — backward is a scatter-add into the 176k-column
+    #     kernel. Under DONATION on a single chip this scatter-add faults the
+    #     TPU worker at first execution (reproduced round 3 AND round 4 via
+    #     tools/repro_donation_fault.py's full-program harness; a faulted
+    #     worker can also poison the NEXT gather program).
+    #   "onehot": slice via a 0/1 matmul — backward is a dense matmul,
+    #     measured crash-free WITH donation at identical speed (356.4 vs
+    #     354.9 ms/step at bs8, PERF.md round 4). Gradient-parity-tested
+    #     (tests/test_head_slice.py). PD_HEAD_SLICE env overrides for A/B.
+    head_slice: str = "gather"
     dtype: jnp.dtype = jnp.float32
     # Pallas fused masked attention for the decoder's cross-attention
     # (TPU only; XLA composition elsewhere). ops/fused_attention.py.
@@ -243,6 +254,19 @@ class PartDistillationTransformerDecoder(MultiScaleMaskedTransformerDecoder):
             cols = jnp.concatenate(
                 [cols, jnp.full((cols.shape[0], 1), total - 1, cols.dtype)], axis=-1
             )
+            import os
+
+            if os.environ.get("PD_HEAD_SLICE", cfg.head_slice) == "onehot":
+                # scatter-free formulation: slice the live columns via a 0/1
+                # matmul so the BACKWARD is a dense (hidden, B*(P+1)) x
+                # (B*(P+1), total) matmul instead of a scatter-add into the
+                # 176k-column kernel — dodges the donation kernel fault
+                # (see head_slice in TransformerDecoderConfig).
+                # ~25 MB one-hot + ~6.5 GFLOP extra per step.
+                oh = jax.nn.one_hot(cols, total, dtype=kernel.dtype)
+                k = jnp.einsum("hc,bpc->bhp", kernel, oh)  # (B, hidden, P+1)
+                b_ = jnp.einsum("c,bpc->bp", bias, oh)
+                return jnp.einsum("bqc,bcp->bqp", dec, k) + b_[:, None, :]
             k = jnp.take(kernel, cols, axis=1)  # (hidden, B, P+1)
             k = jnp.transpose(k, (1, 0, 2))  # (B, hidden, P+1)
             b_ = jnp.take(bias, cols, axis=0)  # (B, P+1)

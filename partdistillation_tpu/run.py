@@ -871,6 +871,15 @@ def cmd_train_distillation(args):
     seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=args.num_parts,
                          num_queries=args.num_queries,
                          num_object_classes=num_obj, num_parts=args.num_parts)
+    if cfg.n_model_shards <= 1:
+        import dataclasses as _dc
+
+        # unsharded giant head: the gather formulation's scatter-add backward
+        # faults the TPU worker under donation (reproduced r3+r4,
+        # tools/repro_donation_fault.py); the scatter-free onehot slice is
+        # crash-free WITH donation at identical speed (PERF.md round 4)
+        seg = _dc.replace(seg, decoder=_dc.replace(seg.decoder,
+                                                   head_slice="onehot"))
     n_pts = 1024 if args.tiny else 12544
     model_cfg = PartDistillationConfig(
         segmenter=seg,
@@ -900,10 +909,10 @@ def cmd_train_distillation(args):
         # n_model_shards > 1 shards the giant head's kernel AND its Adam
         # moments over the model axis (size-1 axis = replicated, no-op)
         sharding_rules=giant_head_rule,
-        # donated single-chip stage-5 crashes the TPU worker (kernel fault,
-        # 3/3 donated vs 3/3 clean non-donated — PERF.md round-3 negative
-        # results); the non-donated pass-through copies overlap compute
-        donate=jax.device_count() > 1)
+        # donation is safe again: the unsharded head uses the scatter-free
+        # onehot slice (above), which dodges the round-3 donation kernel
+        # fault; the sharded multi-chip head donates fine with gather
+        donate=True)
     trainer.resume_or_load()
 
     mapper = PartDistillationTrainMapper(image_size=size,

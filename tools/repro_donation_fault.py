@@ -21,6 +21,13 @@ nothing:
 Each variant prints one line: VARIANT ok loss=... — absence of the line
 (worker crash) is the signal. Run on the real TPU (axon); CPU does not
 reproduce.
+
+ROUND-4 RESULT: none of these minimal variants crash — gather_donated runs
+clean (3 steps, loss finite), so the head-in-isolation is NOT sufficient;
+the fault needs the full stage-5 program (buffer pressure / scheduling).
+The smallest KNOWN repro is tools/stage5_donation_harness.py (full program;
+gather+donate crashed 1/1 in r4 and 3/3 in r3; onehot+donate clean at identical speed). Kept for
+upstream bisection.
 """
 
 import sys

@@ -118,7 +118,18 @@ def make_proposal_detection_fn(model_cfg):
             ml = jax.image.resize(ml, (topk, h, w), method="linear")
             masks = ml > 0.0
             valid = jnp.any(masks, axis=(1, 2))
-            return {"masks": masks, "scores": scores, "valid": valid}
+            # bit-packed copy for the HOST download (8x fewer bytes): the
+            # boolean masks cost ~4 MB/image over the wire at 640^2 topk=10 —
+            # ~270 ms/image on the ~15 MB/s axon tunnel, the dominant term of
+            # the e2e CLI loop (PERF.md round 4); real hosts also save PCIe
+            wpad = (-w) % 8
+            mp = jnp.pad(masks, ((0, 0), (0, 0), (0, wpad))) if wpad else masks
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            packed = jnp.sum(
+                mp.reshape(topk, h, (w + wpad) // 8, 8).astype(jnp.uint8)
+                * weights, axis=-1, dtype=jnp.uint8)
+            return {"masks": masks, "masks_packed": packed,
+                    "scores": scores, "valid": valid}
 
         return jax.vmap(one)(logits, mask_logits)
 
@@ -576,11 +587,13 @@ def run_labeling_batched(
         n_empty += len(chunk) - len(keep)
         if not keep:
             return None
-        batch = np.stack([images[i] for i in keep]).astype(np.float32)
+        # upload uint8, cast on device: 4x less host->device traffic than
+        # f32 (~4.9 MB/image at 640^2 — ~325 ms/image over the axon tunnel)
+        batch = np.stack([images[i] for i in keep]).astype(np.uint8)
         pad = batch_size - len(keep)
         if pad:  # fixed shape -> one compiled program
             batch = np.concatenate(
-                [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
+                [batch, np.zeros((pad,) + batch.shape[1:], np.uint8)])
         batch_dev = jnp.asarray(batch)
         out = detection_fn(params, batch_dev)
         ids_b = probs_b = None
@@ -596,6 +609,12 @@ def run_labeling_batched(
         out = p["out"]
         ids_b = np.asarray(p["ids"]) if p["ids"] is not None else None
         probs_b = np.asarray(p["probs"]) if p["probs"] is not None else None
+        packed_all = None
+        if "masks_packed" in out:
+            # one bit-packed download for the whole batch (8x fewer bytes
+            # than the boolean masks), unpacked on host
+            packed_all = np.asarray(out["masks_packed"])
+        h, w = p["batch_dev"].shape[1:3]
         for bi, i in enumerate(p["keep"]):
             item = p["chunk"][i]
             masks_dev = out["masks"][bi]
@@ -609,7 +628,12 @@ def run_labeling_batched(
                 scores = scores * probs
             else:
                 class_ids = np.full(len(scores), -1, np.int32)
-            det = {"masks": np.asarray(masks_dev)[valid],
+            if packed_all is not None:
+                masks_np = np.unpackbits(
+                    packed_all[bi], axis=-1)[..., :w].astype(bool)
+            else:
+                masks_np = np.asarray(masks_dev)
+            det = {"masks": masks_np[valid],
                    "scores": scores[valid],
                    "class_ids": np.asarray(class_ids, np.int32)[valid]}
             if _save_detection(det, item, writer, cfg, rle_codec):

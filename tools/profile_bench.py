@@ -1,8 +1,12 @@
 """Profile the bench train step and print a per-component cost breakdown.
 
 Parses the xplane proto directly (tensorboard_plugin_profile's converter has a
-protobuf mismatch in this env); aggregates device event durations by the HLO
-op's `source` stat so costs map back to Python call sites.
+protobuf mismatch in this env). Round-4 note: current jax's xplane no longer
+carries a per-event `source` stat, so the by-source table is empty unless
+PROFILE_HLO=1 is set — which lowers a NON-donated copy of the step, extracts
+metadata op_name (jax.named_scope paths) from the compiled module text, and
+attributes through utils/profiling.summarize_trace (the `profile` CLI's
+mechanism; costs one extra remote compile, ~5-10 min over the tunnel).
 """
 import collections
 import glob
@@ -24,12 +28,29 @@ def main():
     params, opt_state, loss = train_step(params, opt_state, batch, key)
     jax.block_until_ready(loss)
 
+    hlo_text = None
+    if os.environ.get("PROFILE_HLO") == "1":
+        # scope attribution: op_name metadata from a non-donated lowering of
+        # the same step (donated jits can't be re-lowered on live state)
+        step = train_step.__wrapped__
+        hlo_text = (jax.jit(step)
+                    .lower(params, opt_state, batch, key)
+                    .compile().as_text())
+
     trace_dir = "/tmp/bench_trace"
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
             params, opt_state, loss = train_step(params, opt_state, batch, key)
         jax.block_until_ready(loss)
+
+    if hlo_text is not None:
+        from partdistillation_tpu.utils.profiling import summarize_trace
+
+        buckets = summarize_trace(trace_dir, steps=3, hlo_text=hlo_text)
+        print("--- by named scope (summarize_trace, top 30) ---")
+        for scope, ms in list(buckets.items())[:30]:
+            print(f"{ms:9.2f} ms/step  {scope[:110]}")
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 

@@ -169,7 +169,6 @@ def _restore_params(path: Optional[str], init_fn, trainer_dir: Optional[str] = N
         params = ckpt.restore(os.path.abspath(path), params)
         logger.info("restored params from %s", path)
     elif trainer_dir:
-        import jax
         import orbax.checkpoint as ocp
 
         mgr = ocp.CheckpointManager(os.path.abspath(trainer_dir))
@@ -177,9 +176,37 @@ def _restore_params(path: Optional[str], init_fn, trainer_dir: Optional[str] = N
         if latest is None:
             raise SystemExit(f"no trainer checkpoint found in {trainer_dir}")
         restored = mgr.restore(latest)["params"]
-        # graft onto the init tree: validates structure, keeps weak types
-        params = jax.tree_util.tree_map(lambda _, new: new, params, restored)
-        logger.info("restored trainer params from %s step %d", trainer_dir, latest)
+        # LENIENT graft: leaves whose path+shape match are taken from the
+        # checkpoint; everything else keeps its fresh init. This is what
+        # makes cross-stage warm-starts work (e.g. train-distillation from
+        # the trained stage-3 proposal model: same trunk/decoder, but the
+        # giant part-classifier head only exists in stage 5) — the
+        # reference's MODEL.WEIGHTS + detectron2 shape-mismatch-skip
+        # behavior.
+        stats = {"grafted": 0, "kept_init": 0}
+
+        def graft(init_node, rest_node, path=""):
+            if isinstance(init_node, dict):
+                if not isinstance(rest_node, dict):
+                    stats["kept_init"] += 1
+                    return init_node
+                return {k: graft(v, rest_node[k], f"{path}/{k}")
+                        if k in rest_node else v
+                        for k, v in init_node.items()}
+            ishape = getattr(init_node, "shape", None)
+            rshape = getattr(rest_node, "shape", None)
+            if ishape is not None and tuple(ishape) == tuple(rshape or ()):
+                stats["grafted"] += 1
+                return rest_node
+            stats["kept_init"] += 1
+            logger.info("warm-start: keeping init for %s (checkpoint shape "
+                        "%s vs %s)", path, rshape, ishape)
+            return init_node
+
+        params = graft(params, restored)
+        logger.info("restored trainer params from %s step %d "
+                    "(%d leaves grafted, %d kept init)",
+                    trainer_dir, latest, stats["grafted"], stats["kept_init"])
     return params
 
 
@@ -811,6 +838,10 @@ def cmd_train_proposal(args):
         args.params,
         lambda: jax.jit(model.init)(jax.random.PRNGKey(cfg.seed),
                                     normalize_images(jnp.zeros((1, size, size, 3)))),
+        # warm-start from another stage's Trainer checkpoint (the reference's
+        # MODEL.WEIGHTS contract); this run's OWN checkpoints still win via
+        # trainer.resume_or_load() below
+        trainer_dir=args.trainer_checkpoint,
         torch_path=getattr(args, "torch_params", None))
 
     mesh = _fit_mesh(cfg.data.batch_size)
@@ -894,6 +925,9 @@ def cmd_train_distillation(args):
             jax.random.PRNGKey(cfg.seed),
             normalize_images(jnp.zeros((1, size, size, 3))),
             gt_object_class=jnp.zeros((1,), jnp.int32)),
+        # warm-start e.g. from the trained stage-3 proposal model; size-
+        # mismatched heads (stage-5's part classifier) keep their init
+        trainer_dir=args.trainer_checkpoint,
         torch_path=getattr(args, "torch_params", None))
 
     from .parallel.mesh import giant_head_rule

@@ -246,6 +246,23 @@ def test_stage5_distill_eval(pipeline_env, capsys):
     assert mapping.shape == (4, 3)
 
 
+def test_stage5_warm_start_from_stage3(pipeline_env, capsys):
+    """Cross-stage warm-start: train-distillation initialized from the
+    TRAINED stage-3 trainer checkpoint (the reference's MODEL.WEIGHTS
+    contract with detectron2's shape-mismatch skip: shared trunk/decoder
+    leaves graft, the stage-5-only giant head keeps its init)."""
+    ov = [o for o in pipeline_env["overrides"]
+          if not o.startswith("checkpoint_dir=")]
+    ov += [f"checkpoint_dir={pipeline_env['tmp']}/ckpt_warm"]
+    res = _run(["train-distillation", "--tiny", "--num-queries", "8",
+                "--num-parts", "3", "--num-object-classes", "4",
+                "--trainer-checkpoint",
+                str(pipeline_env["tmp"] / "ckpt/proposal"),
+                "--set", *ov], capsys)
+    assert res["steps"] >= 2
+    assert (pipeline_env["tmp"] / "ckpt_warm/part_distillation").exists()
+
+
 def test_config_presets_load():
     """Every shipped YAML preset parses into a valid PipelineConfig with
     _BASE_ inheritance resolved."""

@@ -206,3 +206,21 @@ def test_unknown_and_mismatched_keys_reported(tiny_model):
     assert "sem_seg_head.predictor.class_embed.weight" in unmatched
     # template value preserved
     assert out["params"]["predictor"]["class_embed"]["kernel"].shape[1] != 99
+
+
+def test_migrate_legacy_keys_modern_wins_on_collision():
+    """A checkpoint carrying both spellings keeps the modern one (matching
+    the reference's delete-after-copy applied to an already-migrated dict)."""
+    import numpy as np
+
+    from partdistillation_tpu.utils.convert_weights import migrate_legacy_keys
+
+    sd = {
+        "sem_seg_head.predictor.static_query.weight": np.zeros(3),
+        "sem_seg_head.predictor.query_feat.weight": np.ones(3),
+        "sem_seg_head.pixel_decoder.pixel_decoder.mask_features.bias": np.zeros(2),
+    }
+    out = migrate_legacy_keys(sd)
+    assert sorted(out) == ["sem_seg_head.pixel_decoder.mask_features.bias",
+                           "sem_seg_head.predictor.query_feat.weight"]
+    assert out["sem_seg_head.predictor.query_feat.weight"].sum() == 3.0

@@ -136,3 +136,15 @@ def test_dcrf_watch_late_arrival(tmp_path, capsys):
     for ci, code in enumerate(codes):
         for j in range(2):
             assert f"{code}_{j}" in store
+
+
+def test_store_complete_mixed_totals(tmp_path):
+    """Markers from different shard totals don't cross-satisfy: only a
+    complete SET for some one total counts."""
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    mark_shard_complete(d, 0, 3)
+    mark_shard_complete(d, 1, 2)  # different sharding scheme
+    assert not store_complete(d)
+    mark_shard_complete(d, 0, 2)
+    assert store_complete(d)  # {0,1} of 2 complete, 3-scheme still partial

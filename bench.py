@@ -144,7 +144,27 @@ def _backend_probe(timeout_s: int = 180) -> str:
     return ""
 
 
+def _start_watchdog(timeout_s: float):
+    """A wedged tunnel RPC hangs forever inside a C extension where no
+    Python exception can reach (observed: 1/5 cold runs stall >900 s in the
+    first-step load; successful runs take 7-11 min). This daemon thread
+    turns a hang into a fast, diagnosable failure so a driver retry can run."""
+    import threading
+
+    def bark():
+        time.sleep(timeout_s)
+        # stderr ONLY — a 0-value metric line on stdout could be recorded as
+        # the number; no parsable output = unambiguous failed attempt
+        print(f"BENCH WATCHDOG: exceeded {timeout_s:.0f}s (tunnel wedge?) — "
+              "see phase marks above for where it stalled; exiting 3",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    threading.Thread(target=bark, daemon=True).start()
+
+
 def main():
+    _start_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1500")))
     err = _backend_probe()
     if err:
         print(json.dumps({

@@ -5,6 +5,9 @@ term of the e2e detect loop over the axon tunnel, PERF.md round 4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full suite only
 
 from partdistillation_tpu.models.meta_arch.labeling import (
     make_proposal_detection_fn)

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full suite only
+
 from partdistillation_tpu.models.transformer_decoder import (
     PartDistillationTransformerDecoder,
     TransformerDecoderConfig,

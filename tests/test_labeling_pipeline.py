@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full suite only
+
 from partdistillation_tpu.data.pseudo_store import PseudoLabelStore, ShardWriter
 from partdistillation_tpu.models.meta_arch.labeling import (
     LabelingConfig,

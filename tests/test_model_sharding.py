@@ -83,7 +83,13 @@ def _make_trainer(mesh, rules):
                    mesh=mesh, seed=0, sharding_rules=rules), batch
 
 
-def test_giant_head_sharded_in_production_trainer():
+@pytest.mark.parametrize("head_slice", ["gather", "onehot"])
+def test_giant_head_sharded_in_production_trainer(head_slice, monkeypatch):
+    # both head formulations must compose with the model-sharded kernel:
+    # gather = local take over the un-sharded column axis; onehot = 0/1
+    # einsum contracting the sharded hidden axis under GSPMD (the
+    # donation-safe production default for the UNSHARDED head)
+    monkeypatch.setenv("PD_HEAD_SLICE", head_slice)
     devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
     mesh = Mesh(devices, ("data", "model"))
     trainer, batch = _make_trainer(mesh, giant_head_rule)

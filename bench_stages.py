@@ -431,7 +431,7 @@ def bench_stage4(batch_size: int = 8, image_size: int = 640, iters: int = 8,
     }))
 
 
-def bench_stage5(batch_size: int = 8, image_size: int = 640,
+def bench_stage5(batch_size: int = 16, image_size: int = 640,
                  num_object_classes: int = 22000, num_parts: int = 8,
                  iters: int = 10, dtype=jnp.bfloat16):
     """Stage-5 PartDistillation self-training step at the reference's
@@ -444,7 +444,11 @@ def bench_stage5(batch_size: int = 8, image_size: int = 640,
 
     Baseline: same 3.0 img/s/V100 trunk estimate as bench.py — the giant head
     adds little compute (the live slice is 9 logits) but, in the reference,
-    runs in float64 (:107,237); ours is f32-safe by design (slice-first)."""
+    runs in float64 (:107,237); ours is f32-safe by design (slice-first).
+
+    Batch: bs16/chip (round-4 sweep on the donated onehot step:
+    bs8 22.45, bs16 24.75, bs24 24.30 img/s — 16 is the v5e sweet spot;
+    the reference ran 4/GPU on V100-32GB)."""
     import optax
 
     from partdistillation_tpu.engine.optim import OptimizerConfig, build_optimizer

@@ -52,12 +52,12 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
     from partdistillation_tpu.models.transformer_decoder import TransformerDecoderConfig
 
     seg = SegmenterConfig(
-        # BENCH_FUSED_LN=0 / BENCH_FUSED_MLP=1: A/B knobs for the Pallas
-        # fused LayerNorm / fused LN+MLP half-block
+        # BENCH_FUSED_LN=0 / BENCH_FUSED_MLP=0: A/B knobs for the Pallas
+        # fused LayerNorm / fused LN+MLP half-block (both default on)
         swin=swin_large_config(
             dtype=dtype,
             fused_layernorm=os.environ.get("BENCH_FUSED_LN", "1") == "1",
-            fused_mlp=os.environ.get("BENCH_FUSED_MLP", "0") == "1"),
+            fused_mlp=os.environ.get("BENCH_FUSED_MLP", "1") == "1"),
         # banded MSDA is exact here: the encoder is FROZEN (the stage-3
         # launch config), so offsets stay at the deformable-DETR init whose
         # max magnitude is n_points=4 level pixels < radius 6; measured

@@ -60,9 +60,12 @@ class SwinConfig:
     # Fused (Pallas) LN+MLP+residual half-block on TPU (ops/fused_mlp.py):
     # token-tiled, MLP weight pair VMEM-pinned; applies where the weights fit
     # (res2-res4; res5's C=1536 pair exceeds VMEM and stays on XLA). Forward-
-    # only (XLA-composition VJP) — the production trunks are frozen. Default
-    # off pending the on-chip A/B (PERF.md round 4).
-    fused_mlp: bool = False
+    # only (XLA-composition VJP; production trunks are frozen). Default ON:
+    # interleaved repeat A/B measured a reproducible +0.65% on the stage-3
+    # step (637.5/637.5 vs 633.4/633.5 ms), and the f32-stat kernel is ~2x
+    # closer to the f32 composition than the bf16 XLA path it replaces
+    # (PERF.md round 4).
+    fused_mlp: bool = True
 
     @property
     def num_layers(self) -> int:

@@ -132,6 +132,7 @@ def test_pascal_eval_proposal(pascal_env, capsys):
     assert np.isfinite(res["AR@1"])
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered for fast-gate margin (round 4)
 def test_pascal_rank_full_modal(pascal_env, capsys):
     """cluster -> match -> eval over Pascal with dataset-local class ids (the
     reference's per-dataset modal pipeline)."""

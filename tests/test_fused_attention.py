@@ -76,6 +76,7 @@ def test_gradients_flow():
         assert float(jnp.sum(jnp.abs(g))) > 0
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered for fast-gate margin (round 4)
 def test_decoder_uses_fused_flag():
     """use_fused_attention=True must give identical outputs on CPU (fallback)
     and keep the same param structure as the dense path."""

@@ -139,6 +139,7 @@ def test_band_geometry_default_cap_engages_at_production_geometry():
     assert band_rows * 80 / tq < 80 * 80 / 2
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered for fast-gate margin (round 4)
 def test_banded_radius4_exact_at_production_offset_cap():
     """The bench default (radius 4) must be EXACT at the production offset
     distribution's boundary: the deformable-DETR init caps |offset| at
@@ -191,6 +192,7 @@ def test_banded2d_matches_dense_within_radius():
     assert float(frac) == 0.0
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered for fast-gate margin (round 4)
 def test_banded2d_radius4_exact_at_production_offset_cap():
     value, loc, attw = _case(max_off_px=4.0, p=4, seed=7)
     dense = ms_deform_attn(value, SHAPES, loc, attw, mode="onehot_mxu")
@@ -221,6 +223,7 @@ def test_banded2d_gradients_match_dense():
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered for fast-gate margin (round 4)
 def test_oob_counter_2d_flags_column_escapes():
     """Taps pushed sideways (columns) escape the 2-D block but stay inside
     the 1-D row band — only the tile_x counter must flag them."""

@@ -85,6 +85,7 @@ def test_ms_deform_attn_matches_naive():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.slow  # compile-heavy: re-tiered for fast-gate margin (round 4)
 def test_ms_deform_attn_grads_flow():
     shapes = ((4, 4),)
     b, m, d, lq, p = 1, 2, 4, 3, 2

@@ -116,6 +116,15 @@ class ShardWriter:
     def __init__(self, store_dir: str, shard_index: int, num_shards: int):
         os.makedirs(store_dir, exist_ok=True)
         self.path = os.path.join(store_dir, shard_name(shard_index, num_shards))
+        # A resumed producer invalidates any completion claim from a prior
+        # finished run: without this, a concurrently launched `dcrf --watch`
+        # would see store_complete() immediately, drain the existing records
+        # and exit while this run is still appending — silently dropping the
+        # late records. Completeness is only asserted by the CURRENT run's
+        # mark_shard_complete call.
+        stale_marker = self.path + ".done"
+        if os.path.exists(stale_marker):
+            os.remove(stale_marker)
         if os.path.exists(self.path):
             self._index = _scan_shard(self.path, truncate=True)
         else:

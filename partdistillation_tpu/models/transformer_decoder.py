@@ -256,7 +256,17 @@ class PartDistillationTransformerDecoder(MultiScaleMaskedTransformerDecoder):
             )
             import os
 
-            if os.environ.get("PD_HEAD_SLICE", cfg.head_slice) == "onehot":
+            env_slice = os.environ.get("PD_HEAD_SLICE")
+            if env_slice is not None and env_slice != cfg.head_slice:
+                import logging
+
+                logging.getLogger("partdistillation_tpu").warning(
+                    "PD_HEAD_SLICE=%s OVERRIDES config head_slice=%r; "
+                    "'gather' + donation on an unsharded giant head is the "
+                    "known TPU-worker-crashing configuration (PERF.md round "
+                    "4) — unset a leftover A/B env var unless intentional",
+                    env_slice, cfg.head_slice)
+            if (env_slice or cfg.head_slice) == "onehot":
                 # scatter-free formulation: slice the live columns via a 0/1
                 # matmul so the BACKWARD is a dense (hidden, B*(P+1)) x
                 # (B*(P+1), total) matmul instead of a scatter-add into the

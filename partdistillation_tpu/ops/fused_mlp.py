@@ -9,7 +9,9 @@ and stays on the XLA composition.
 
 The trunk is FROZEN in every production stage (train_multi.sh:33-38,
 train.sh:8), so this is a forward-only optimization; the backward falls back
-to the exact XLA-composition VJP (never taken under stop_gradient).
+to the XLA-composition VJP of ``ln_mlp_kernel_numerics`` — the f32-stat
+composition matching THIS kernel's numerics path, so grads are of the same
+function the forward computes (never taken under stop_gradient).
 
 Numerics: LN statistics in f32 (like ops/layer_norm.py), matmul
 accumulation f32, exact (erf) GELU in f32 — at bf16 weights this is slightly
@@ -41,6 +43,29 @@ def ln_mlp_reference(x, scale, bias, w1, b1, w2, b2, eps=1e-5,
     h = jax.nn.gelu(h, approximate=False)
     o = (h @ w2.astype(dtype) + b2.astype(dtype)).astype(dtype)
     return x + o
+
+
+def ln_mlp_kernel_numerics(x, scale, bias, w1, b1, w2, b2, eps=1e-5):
+    """XLA composition matching the PALLAS KERNEL's numerics path (f32 LN
+    statistics, f32 matmul accumulation over compute-dtype operands, exact
+    f32 GELU) — the function the custom VJP differentiates, so backward is
+    the gradient of the same function the forward computes (within the A&S
+    erf polynomial's 1.5e-7)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - mean * mean
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    h = jax.lax.dot_general(xn.astype(x.dtype), w1,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1.astype(jnp.float32)
+    h = 0.5 * h * (1.0 + jax.lax.erf(h * (2.0 ** -0.5)))
+    y = jax.lax.dot_general(h.astype(x.dtype), w2,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + b2.astype(jnp.float32)
+    return x + y.astype(x.dtype)
 
 
 def _erf_f32(x):
@@ -121,11 +146,13 @@ def _fused_fwd(x, scale, bias, w1, b1, w2, b2, eps, token_tile):
 
 
 def _fused_bwd(eps, token_tile, res, g):
-    # exact XLA-composition VJP (recompute); never taken for the frozen
-    # trunk (stop_gradient), kept for correctness elsewhere
+    # VJP of the KERNEL-numerics composition (f32 LN stats + f32 GELU, see
+    # ln_mlp_kernel_numerics) so backward differentiates the same function
+    # the Pallas forward computes; recompute-based. Never taken for the
+    # frozen trunk (stop_gradient), correct if the backbone is unfrozen.
     x, scale, bias, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
-        lambda *a: ln_mlp_reference(*a, eps=eps, dtype=x.dtype),
+        lambda *a: ln_mlp_kernel_numerics(*a, eps=eps),
         x, scale, bias, w1, b1, w2, b2)
     return vjp(g)
 

@@ -118,6 +118,44 @@ def _imagenet_items(cfg, args, object_store: Optional[str] = None):
     )
 
 
+def _graft_params(init_tree, restored_tree):
+    """LENIENT warm-start graft: leaves whose path+shape match are taken from
+    the checkpoint; everything else keeps its fresh init. Returns
+    ``(params, {"grafted": n, "kept_init": m})``."""
+    stats = {"grafted": 0, "kept_init": 0}
+
+    def _as_dict(node):
+        # FrozenDict / any Mapping from an older checkpoint would fail
+        # isinstance(dict) and silently turn the whole tree into one
+        # unmatched leaf — normalize to plain dicts first.
+        if not isinstance(node, dict) and hasattr(node, "items") \
+                and hasattr(node, "keys"):
+            return {k: v for k, v in node.items()}
+        return node
+
+    def graft(init_node, rest_node, path=""):
+        init_node = _as_dict(init_node)
+        rest_node = _as_dict(rest_node)
+        if isinstance(init_node, dict):
+            if not isinstance(rest_node, dict):
+                stats["kept_init"] += 1
+                return init_node
+            return {k: graft(v, rest_node[k], f"{path}/{k}")
+                    if k in rest_node else v
+                    for k, v in init_node.items()}
+        ishape = getattr(init_node, "shape", None)
+        rshape = getattr(rest_node, "shape", None)
+        if ishape is not None and tuple(ishape) == tuple(rshape or ()):
+            stats["grafted"] += 1
+            return rest_node
+        stats["kept_init"] += 1
+        logger.info("warm-start: keeping init for %s (checkpoint shape "
+                    "%s vs %s)", path, rshape, ishape)
+        return init_node
+
+    return graft(init_tree, restored_tree), stats
+
+
 def _restore_params(path: Optional[str], init_fn, trainer_dir: Optional[str] = None,
                     torch_path: Optional[str] = None,
                     require_weights: bool = False,
@@ -183,30 +221,19 @@ def _restore_params(path: Optional[str], init_fn, trainer_dir: Optional[str] = N
         # giant part-classifier head only exists in stage 5) — the
         # reference's MODEL.WEIGHTS + detectron2 shape-mismatch-skip
         # behavior.
-        stats = {"grafted": 0, "kept_init": 0}
-
-        def graft(init_node, rest_node, path=""):
-            if isinstance(init_node, dict):
-                if not isinstance(rest_node, dict):
-                    stats["kept_init"] += 1
-                    return init_node
-                return {k: graft(v, rest_node[k], f"{path}/{k}")
-                        if k in rest_node else v
-                        for k, v in init_node.items()}
-            ishape = getattr(init_node, "shape", None)
-            rshape = getattr(rest_node, "shape", None)
-            if ishape is not None and tuple(ishape) == tuple(rshape or ()):
-                stats["grafted"] += 1
-                return rest_node
-            stats["kept_init"] += 1
-            logger.info("warm-start: keeping init for %s (checkpoint shape "
-                        "%s vs %s)", path, rshape, ishape)
-            return init_node
-
-        params = graft(params, restored)
+        params, stats = _graft_params(params, restored)
         logger.info("restored trainer params from %s step %d "
                     "(%d leaves grafted, %d kept init)",
                     trainer_dir, latest, stats["grafted"], stats["kept_init"])
+        if stats["grafted"] == 0:
+            # A zero-leaf warm-start is almost certainly operator error (wrong
+            # --trainer-checkpoint path contents / incompatible checkpoint):
+            # every leaf silently keeping its fresh init would "train" from
+            # scratch while claiming to warm-start.
+            raise SystemExit(
+                f"warm-start from {trainer_dir} grafted 0 leaves — the "
+                "checkpoint does not match this model at any leaf; refusing "
+                "to continue with a fully fresh init")
     return params
 
 
@@ -911,6 +938,17 @@ def cmd_train_distillation(args):
         # crash-free WITH donation at identical speed (PERF.md round 4)
         seg = _dc.replace(seg, decoder=_dc.replace(seg.decoder,
                                                    head_slice="onehot"))
+    # a leftover PD_HEAD_SLICE=gather from an A/B session would silently
+    # reinstate the donation scatter-add kernel fault (the env var wins at
+    # trace time, transformer_decoder.py head()); fall back to donate=False
+    # for that configuration instead of crashing the worker
+    _env_slice = os.environ.get("PD_HEAD_SLICE")
+    _donate = not (cfg.n_model_shards <= 1 and _env_slice == "gather")
+    if not _donate:
+        logger.warning(
+            "PD_HEAD_SLICE=gather with an unsharded giant head: disabling "
+            "state donation to dodge the known scatter-add donation fault "
+            "(PERF.md round 4); unset PD_HEAD_SLICE for the fast path")
     n_pts = 1024 if args.tiny else 12544
     model_cfg = PartDistillationConfig(
         segmenter=seg,
@@ -945,8 +983,10 @@ def cmd_train_distillation(args):
         sharding_rules=giant_head_rule,
         # donation is safe again: the unsharded head uses the scatter-free
         # onehot slice (above), which dodges the round-3 donation kernel
-        # fault; the sharded multi-chip head donates fine with gather
-        donate=True)
+        # fault; the sharded multi-chip head donates fine with gather.
+        # _donate only drops to False when PD_HEAD_SLICE=gather forces the
+        # faulting configuration back on (guard above).
+        donate=_donate)
     trainer.resume_or_load()
 
     mapper = PartDistillationTrainMapper(image_size=size,

@@ -38,6 +38,29 @@ def test_store_complete_marker_protocol(tmp_path):
     assert store_complete(d)
 
 
+def test_reopened_writer_clears_stale_done_marker(tmp_path):
+    """A resumed producer must invalidate the prior run's completion claim:
+    otherwise a concurrent `dcrf --watch` drains the old records and exits
+    while the resumed run is still appending (ADVICE r4 medium)."""
+    d = str(tmp_path / "store")
+    # run 1: write + complete both shards
+    with ShardWriter(d, 0, 2) as w:
+        w.write({"image_id": "a"})
+    mark_shard_complete(d, 0, 2)
+    with ShardWriter(d, 1, 2) as w:
+        w.write({"image_id": "b"})
+    mark_shard_complete(d, 1, 2)
+    assert store_complete(d)
+    # run 2 resumes shard 0: its stale marker must drop until re-marked
+    w = ShardWriter(d, 0, 2)
+    assert not store_complete(d)
+    w.write({"image_id": "c"})
+    w.close()
+    mark_shard_complete(d, 0, 2)
+    assert store_complete(d)
+    assert sorted(PseudoLabelStore(d).ids()) == ["a", "b", "c"]
+
+
 def test_dcrf_watch_late_arrival(tmp_path, capsys):
     codes = ["n01440764", "n01443537"]
     root = tmp_path / "imagenet"

@@ -64,6 +64,30 @@ def test_vjp_matches_composition():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_vjp_differentiates_kernel_numerics_at_bf16():
+    """At bf16 the custom VJP is the gradient of the f32-stat composition
+    matching the Pallas kernel's numerics path (ln_mlp_kernel_numerics),
+    NOT of the bf16-stat ln_mlp_reference — backward and forward are the
+    same function (ADVICE r4: kernel fwd used f32 stats, old VJP bf16)."""
+    args = _inputs(n=33, dtype=jnp.bfloat16)
+
+    def f_kernel(*a):
+        return fm.ln_mlp_kernel_numerics(*a).astype(jnp.float32).sum()
+
+    g_ref = jax.grad(f_kernel, argnums=tuple(range(7)))(*args)
+    grads = fm._fused_bwd(1e-5, 16, args, jnp.ones((33, 24), jnp.bfloat16))
+    for a, b in zip(grads, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=1e-2, rtol=1e-2)
+    # and the forward of that composition matches the kernel (interpret)
+    out = fm._fwd_pallas(*args, eps=1e-5, token_tile=16, interpret=True)
+    ref = fm.ln_mlp_kernel_numerics(*args)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
 def test_swin_block_flag_equivalence():
     """fused_mlp=True equals the unfused block off-TPU (dispatch fallback
     shares numerics) with an IDENTICAL param tree."""

@@ -169,3 +169,36 @@ def test_train_step_on_mesh():
                       optimizer_cfg=OptimizerConfig(), mesh=mesh)
     m = trainer.train_step(shard_batch(mesh, batch))
     assert np.isfinite(float(m["total_loss"]))
+
+
+def test_graft_params_lenient_and_mapping_safe():
+    """run._graft_params: shape-matched leaves graft, mismatches keep init,
+    and Mapping containers (FrozenDict-style) normalize instead of becoming
+    one unmatched leaf (ADVICE r4)."""
+    from partdistillation_tpu.run import _graft_params
+
+    init = {"trunk": {"w": np.zeros((3, 3)), "b": np.zeros((3,))},
+            "head": {"w": np.zeros((3, 9))}}
+    restored = {"trunk": {"w": np.ones((3, 3)), "b": np.ones((4,))}}
+    out, stats = _graft_params(init, restored)
+    assert stats == {"grafted": 1, "kept_init": 1}
+    assert out["trunk"]["w"].sum() == 9 and out["trunk"]["b"].sum() == 0
+    assert out["head"]["w"].sum() == 0  # absent subtree keeps init
+
+    class FrozenLike:
+        def __init__(self, d):
+            self._d = d
+
+        def items(self):
+            return self._d.items()
+
+        def keys(self):
+            return self._d.keys()
+
+    out2, stats2 = _graft_params(init, FrozenLike(
+        {"trunk": FrozenLike({"w": np.full((3, 3), 2.0)})}))
+    assert stats2["grafted"] == 1
+    assert out2["trunk"]["w"].sum() == 18
+
+    _, stats3 = _graft_params(init, {"other": {"x": np.zeros((1,))}})
+    assert stats3["grafted"] == 0  # run.py refuses this with SystemExit

@@ -57,7 +57,11 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
         swin=swin_large_config(
             dtype=dtype,
             fused_layernorm=os.environ.get("BENCH_FUSED_LN", "1") == "1",
-            fused_mlp=os.environ.get("BENCH_FUSED_MLP", "1") == "1"),
+            fused_mlp=os.environ.get("BENCH_FUSED_MLP", "1") == "1",
+            # BENCH_QKV_LAYOUT=bfn: qkv projection emits (B,3C,N) so the
+            # per-q/k/v slices land in the window kernel's layout with no
+            # whole-tensor relayout (VERDICT r4 #2 A/B)
+            qkv_layout=os.environ.get("BENCH_QKV_LAYOUT", "fbn")),
         # banded MSDA is exact here: the encoder is FROZEN (the stage-3
         # launch config), so offsets stay at the deformable-DETR init whose
         # max magnitude is n_points=4 level pixels < radius 6; measured

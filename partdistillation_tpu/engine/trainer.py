@@ -77,6 +77,11 @@ class Trainer:
     # None = fully replicated. See parallel.mesh.giant_head_rule for the
     # stage-5 model-axis sharding of the 176k-way part classifier.
     sharding_rules: Optional[Callable] = None
+    # Optional jit-traced batch preprocessing applied INSIDE the compiled
+    # step, before the loss: the wire-format hook (run.py packs boolean
+    # masks 8x and uploads uint8 images; this unpacks/casts on device, so
+    # host->device traffic shrinks ~7x with zero numerics change downstream).
+    batch_prepare: Optional[Callable] = None
     # Donate the TrainState to the step (in-place buffer reuse). Safe to
     # keep True everywhere since round 4: the stage-5 donation kernel fault
     # was root-caused to the GATHER head's scatter-add gradient into the
@@ -109,7 +114,14 @@ class Trainer:
             )
 
     def _build_step(self):
-        step = build_train_step(self.tx, self.loss_fn)
+        base = build_train_step(self.tx, self.loss_fn)
+        if self.batch_prepare is not None:
+            prepare = self.batch_prepare
+
+            def step(state, batch):
+                return base(state, prepare(batch))
+        else:
+            step = base
         donate = (0,) if self.donate else ()
         if self.mesh is not None:
             batch_sh = NamedSharding(self.mesh, P("data"))

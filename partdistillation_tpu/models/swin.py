@@ -66,6 +66,14 @@ class SwinConfig:
     # closer to the f32 composition than the bf16 XLA path it replaces
     # (PERF.md round 4).
     fused_mlp: bool = True
+    # qkv projection output layout feeding the fused window-attention kernel:
+    # "fbn"  — TransposedDense emits (3C, B, N); splitting 3C->(3,H,hd) then
+    #          moving B before (H,hd) costs one whole-tensor relayout copy
+    #          (profiled 2x3.2 ms at res2, VERDICT r4 #2);
+    # "bfn"  — the einsum emits (B, 3C, N); the (3,H,hd) split of axis 1 is a
+    #          free view and the per-q/k/v slices land directly in the
+    #          kernel's (B, H, hd, N) layout. A/B knob (BENCH_QKV_LAYOUT).
+    qkv_layout: str = "fbn"
 
     @property
     def num_layers(self) -> int:
@@ -208,6 +216,7 @@ class WindowAttention(nn.Module):
     qk_scale: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
     fused: bool = True
+    qkv_layout: str = "fbn"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -229,11 +238,20 @@ class WindowAttention(nn.Module):
 
             # feature-major qkv: (3HD, bnw, n); the only relayout on the way
             # to the kernel is one full-lane-minor transpose (cheap)
-            qkvt = TransposedDense(self.dim * 3, use_bias=self.qkv_bias,
-                                   dtype=self.dtype, name="qkv")(x)
-            qkvt = qkvt.reshape(3, self.num_heads, head_dim, bnw, n)
-            qkvt = qkvt.transpose(0, 3, 1, 2, 4)   # (3, bnw, H, hd, n)
-            qt, kt, vt = qkvt[0], qkvt[1], qkvt[2]
+            if self.qkv_layout == "bfn":
+                w, b_ = _DenseParams(self.dim * 3, name="qkv",
+                                     use_bias=self.qkv_bias)(c)
+                y = jnp.einsum("bnc,cf->bfn", x, w.astype(self.dtype))
+                if b_ is not None:
+                    y = y + b_[None, :, None].astype(self.dtype)
+                qkv5 = y.reshape(bnw, 3, self.num_heads, head_dim, n)
+                qt, kt, vt = qkv5[:, 0], qkv5[:, 1], qkv5[:, 2]
+            else:
+                qkvt = TransposedDense(self.dim * 3, use_bias=self.qkv_bias,
+                                       dtype=self.dtype, name="qkv")(x)
+                qkvt = qkvt.reshape(3, self.num_heads, head_dim, bnw, n)
+                qkvt = qkvt.transpose(0, 3, 1, 2, 4)   # (3, bnw, H, hd, n)
+                qt, kt, vt = qkvt[0], qkvt[1], qkvt[2]
 
             # grouped additive bias: rel-pos (all windows) + shift mask;
             # windows are WINDOW-MAJOR (_window_partition), so the bnw axis
@@ -306,12 +324,14 @@ class _DenseParams(nn.Module):
     initializers, for block-level fused kernels."""
 
     features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, c: int):
         return (self.param("kernel", nn.initializers.lecun_normal(),
                            (c, self.features)),
-                self.param("bias", nn.initializers.zeros, (self.features,)))
+                self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
 
 
 class SwinBlock(nn.Module):
@@ -327,6 +347,7 @@ class SwinBlock(nn.Module):
     fused_attention: bool = True
     fused_layernorm: bool = False
     fused_mlp: bool = False
+    qkv_layout: str = "fbn"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
@@ -360,6 +381,7 @@ class SwinBlock(nn.Module):
             qk_scale=self.qk_scale,
             dtype=self.dtype,
             fused=self.fused_attention,
+            qkv_layout=self.qkv_layout,
             name="attn",
         )(windows, mask)
         x = _window_reverse(attn_out, ws, b, hp, wp)
@@ -449,6 +471,7 @@ class SwinTransformer(nn.Module):
                     drop_path=float(dpr[block_idx]),
                     dtype=cfg.dtype,
                     fused_attention=cfg.fused_attention,
+                    qkv_layout=cfg.qkv_layout,
                     fused_layernorm=cfg.fused_layernorm,
                     fused_mlp=cfg.fused_mlp,
                     name=f"stage{stage}_block{blk}",

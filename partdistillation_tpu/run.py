@@ -42,6 +42,20 @@ def _setup(args) -> "PipelineConfig":
         format="%(asctime)s %(name)s %(levelname)s: %(message)s")
     cfg = load_config(PipelineConfig, getattr(args, "config", None),
                       getattr(args, "set", None))
+    # Persistent compilation cache for every stage CLI (bench.py already had
+    # this; without it each fresh stage process pays the FULL remote compile
+    # — measured 10-18 min per stage over the dev tunnel, bench_pipeline r5).
+    # JAX_COMPILATION_CACHE_DIR overrides; resume/restarted jobs reuse it.
+    try:
+        import jax
+
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache_tpu")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as e:  # never block a CLI on cache plumbing
+        logger.warning("compilation cache not enabled: %s", e)
     return cfg
 
 
@@ -68,7 +82,9 @@ def _msda(args) -> dict:
 
 def _segmenter_cfg(tiny: bool, num_classes: int, num_queries: int,
                    num_object_classes: int = 0, num_parts: int = 8,
-                   msda: dict = {}):
+                   msda: dict = {}, freeze_trunk: bool = False):
+    import jax.numpy as jnp
+
     from .models.pixel_decoder import PixelDecoderConfig
     from .models.segmenter import SegmenterConfig
     from .models.swin import swin_large_config
@@ -85,14 +101,113 @@ def _segmenter_cfg(tiny: bool, num_classes: int, num_queries: int,
                 num_classes=num_classes, hidden_dim=32, num_queries=num_queries,
                 num_heads=4, dim_feedforward=64, dec_layers=2, mask_dim=32,
                 num_object_classes=num_object_classes, num_parts=num_parts),
+            freeze_backbone=freeze_trunk, freeze_pixel_decoder=freeze_trunk,
         )
+    # Full-size default = the measured production configuration of record
+    # (PERF.md; bench.py; the reference launch configs train_multi.sh:8,33-38):
+    # bf16 compute (f32 master weights), banded-radius-4 MSDA (exact for
+    # frozen/in-band offsets; msda_band_oob_fraction reports escapes on
+    # converted weights — override with --msda-mode/--msda-band-radius).
+    # The previous f32+dense default OOM'd a 16 GiB chip at the production
+    # bs16 train step (27.7 GB hat intermediate) — caught by bench_pipeline.
+    m = {"msda_mode": "banded", "msda_band_radius": 4, **msda}
+    bf16 = jnp.bfloat16
     return SegmenterConfig(
-        swin=swin_large_config(),
-        pixel_decoder=PixelDecoderConfig(**msda),
+        swin=swin_large_config(dtype=bf16),
+        pixel_decoder=PixelDecoderConfig(dtype=bf16, **m),
         decoder=TransformerDecoderConfig(
             num_classes=num_classes, num_queries=num_queries, dec_layers=9,
+            dtype=bf16,
             num_object_classes=num_object_classes, num_parts=num_parts),
+        # stop_gradient (not just a zeroed optimizer update) releases the
+        # trunk backward: activations are freed, grads never materialize
+        freeze_backbone=freeze_trunk, freeze_pixel_decoder=freeze_trunk,
     )
+
+
+def _pack_train_batch(batch, mask_keys=("masks",), image_key="image"):
+    """Host side of the train-batch wire format: uint8 image + bit-packed
+    masks (8x fewer upload bytes; Trainer.batch_prepare unpacks on device)."""
+    from .utils.bitpack import pack_bits_np
+
+    out = dict(batch)
+    if image_key in out:
+        out[image_key] = np.clip(np.asarray(out[image_key]),
+                                 0, 255).astype(np.uint8)
+    for k in mask_keys:
+        if k in out:
+            out[k] = pack_bits_np(np.asarray(out[k], bool))
+    return out
+
+
+def _unpack_train_batch(width, mask_keys=("masks",), image_key="image"):
+    """Device side (runs inside the compiled step via Trainer.batch_prepare)."""
+    import jax.numpy as jnp
+
+    from .utils.bitpack import unpack_bits
+
+    def prepare(batch):
+        b = dict(batch)
+        if image_key in b:
+            b[image_key] = b[image_key].astype(jnp.float32)
+        for k in mask_keys:
+            if k in b:
+                b[k] = unpack_bits(b[k], width)
+        return b
+
+    return prepare
+
+
+def _packed_batches(loader, mask_keys=("masks",), image_key="image"):
+    for batch in loader:
+        yield _pack_train_batch(batch, mask_keys, image_key)
+
+
+def _unpack_train_batch_host(batch, width, mask_keys=("masks",),
+                             image_key="image"):
+    """Host-side inverse of _pack_train_batch (vis overlays read the batch)."""
+    from .utils.bitpack import unpack_bits_np
+
+    b = dict(batch)
+    if image_key in b and np.asarray(b[image_key]).dtype == np.uint8:
+        b[image_key] = np.asarray(b[image_key], np.float32)
+    for k in mask_keys:
+        arr = b.get(k)
+        if arr is not None and np.asarray(arr).dtype == np.uint8:
+            b[k] = unpack_bits_np(np.asarray(arr), width)
+    return b
+
+
+class _StageTimer:
+    """Uniform per-stage timing: separates the first processed batch (jit
+    compile + executable load, which a production run amortizes over hours)
+    from the steady-state rate. ``bench_pipeline.py`` consumes these fields
+    from every stage's JSON line to report the composite pipeline number."""
+
+    def __init__(self):
+        self.t0 = time.perf_counter()
+        self.t1 = None
+        self.n1 = 0
+        self.n = 0
+
+    def batch(self, n_images: int):
+        self.n += n_images
+        if self.t1 is None:
+            self.t1 = time.perf_counter()
+            self.n1 = self.n
+
+    def stats(self) -> dict:
+        t = time.perf_counter()
+        total = t - self.t0
+        out = {
+            "total_s": round(total, 2),
+            "images_per_sec": round(self.n / max(total, 1e-9), 3),
+            "first_batch_s": round((self.t1 or t) - self.t0, 2),
+        }
+        if self.t1 is not None and t > self.t1 and self.n > self.n1:
+            out["images_per_sec_steady"] = round(
+                (self.n - self.n1) / (t - self.t1), 3)
+        return out
 
 
 def _shard_id(args) -> tuple:
@@ -580,11 +695,26 @@ def cmd_propose(args):
     logger.info("stage 2: %d images to process", len(items))
 
     gen_cfg = ProposalGenerationConfig(
-        swin=_tiny_swin() if args.tiny else swin_large_config(),
+        swin=_tiny_swin() if args.tiny
+        else swin_large_config(dtype=jnp.bfloat16),
         num_clusters=args.num_clusters)
-    gen_fn = jax.jit(make_generation_fn(gen_cfg))
     backbone = SwinTransformer(gen_cfg.swin)
     size = cfg.data.image_size
+
+    # wire format (PERF.md round-5): uint8 image up, bit-packed masks both
+    # ways — unpack/pack INSIDE the jit; ~12x fewer host<->device bytes
+    from .utils.bitpack import pack_bits, pack_bits_np, unpack_bits, unpack_bits_np
+
+    raw_gen_fn = make_generation_fn(gen_cfg)
+
+    def _gen_wire(params, wire, key):
+        out = dict(raw_gen_fn(params, {
+            "image": wire["image_u8"].astype(jnp.float32),
+            "object_mask": unpack_bits(wire["object_mask_p"], size)}, key))
+        out["part_masks"] = pack_bits(out["part_masks"])
+        return out
+
+    gen_fn = jax.jit(_gen_wire)
     params = _restore_params(
         args.params,
         lambda: jax.jit(backbone.init)(
@@ -594,13 +724,16 @@ def cmd_propose(args):
         require_weights=True, allow_random=args.allow_random_init)
 
     mapper = ProposalGenerationMapper(image_size=size)
-    n_saved, n_batches, t0 = 0, 0, time.perf_counter()
+    n_saved, n_batches, timer = 0, 0, _StageTimer()
+    t0 = timer.t0
     for batch in batch_iterator(items, mapper, cfg.data.batch_size,
                                 num_workers=cfg.data.num_workers):
-        out = gen_fn(params, {"image": jnp.asarray(batch["image"]),
-                              "object_mask": jnp.asarray(batch["object_mask"])},
-                     jax.random.PRNGKey(n_batches))
-        masks = np.asarray(out["part_masks"])
+        out = gen_fn(params, {
+            "image_u8": jnp.asarray(
+                np.clip(batch["image"], 0, 255).astype(np.uint8)),
+            "object_mask_p": jnp.asarray(pack_bits_np(batch["object_mask"]))},
+            jax.random.PRNGKey(n_batches))
+        masks = unpack_bits_np(np.asarray(out["part_masks"]), size)
         valid = np.asarray(out["part_valid"])
         ratio = np.asarray(out["object_ratio"])
         for b in range(masks.shape[0]):
@@ -617,6 +750,7 @@ def cmd_propose(args):
                 "object_class": int(batch["class_id"][b]),
             }))
         n_batches += 1
+        timer.batch(int(np.sum(batch["batch_valid"])))
         if n_batches % 20 == 0:
             writer.flush()
             ips = n_saved / (time.perf_counter() - t0)
@@ -626,8 +760,7 @@ def cmd_propose(args):
     # reference's continuously_postprocess_dcrf job shape) terminate once
     # every propose shard is done and drained
     mark_shard_complete(cfg.paths.proposals, shard, num_shards)
-    print(json.dumps({"stage": "propose", "saved": n_saved,
-                      "images_per_sec": round(n_saved / max(time.perf_counter() - t0, 1e-9), 3)}))
+    print(json.dumps({"stage": "propose", "saved": n_saved, **timer.stats()}))
 
 
 # ---------------------------------------------------------------- stage 2b
@@ -661,7 +794,18 @@ def cmd_dcrf(args):
         refined = label[None, :, :] == (1 + jnp.arange(capacity)[:, None, None])
         return refined, jnp.any(refined, axis=(1, 2)) & valid
 
-    refine_fn = jax.jit(jax.vmap(refine))
+    # wire format: uint8 image up, masks bit-packed both directions (the
+    # bool wire measured 2.9 img/s e2e vs 38 on-device — bench_pipeline r5)
+    from .utils.bitpack import pack_bits, pack_bits_np, unpack_bits, unpack_bits_np
+
+    size = cfg.data.image_size
+
+    def _refine_wire(image_u8, masks_p, valid):
+        refined, v = jax.vmap(refine)(image_u8.astype(jnp.float32),
+                                      unpack_bits(masks_p, size), valid)
+        return pack_bits(refined), v
+
+    refine_fn = jax.jit(_refine_wire)
     mapper = PartRankingMapper(image_size=cfg.data.image_size, capacity=capacity)
 
     # images whose refinement produced no surviving mask leave no record
@@ -684,10 +828,13 @@ def cmd_dcrf(args):
         n_saved, n_batches = 0, 0
         for batch in batch_iterator(items, mapper, cfg.data.batch_size,
                                     num_workers=cfg.data.num_workers):
-            refined, valid = refine_fn(jnp.asarray(batch["image"]),
-                                       jnp.asarray(batch["part_masks"]),
-                                       jnp.asarray(batch["part_valid"]))
-            refined, valid = np.asarray(refined), np.asarray(valid)
+            refined, valid = refine_fn(
+                jnp.asarray(np.clip(batch["image"], 0, 255).astype(np.uint8)),
+                jnp.asarray(pack_bits_np(batch["part_masks"])),
+                jnp.asarray(batch["part_valid"]))
+            refined = unpack_bits_np(np.asarray(refined), size)
+            valid = np.asarray(valid)
+            timer.batch(int(np.sum(batch["batch_valid"])))
             for b in range(refined.shape[0]):
                 if not batch["batch_valid"][b]:
                     continue
@@ -714,7 +861,7 @@ def cmd_dcrf(args):
     # skip-if-done) — but with a termination protocol: exit once every
     # upstream propose shard has dropped its completion marker and a final
     # rescan finds nothing new.
-    n_saved, t0 = 0, time.perf_counter()
+    n_saved, timer = 0, _StageTimer()
     while True:
         n_saved += one_pass()
         if not args.watch:
@@ -728,8 +875,7 @@ def cmd_dcrf(args):
             break
         time.sleep(args.watch_interval)
     writer.close()
-    print(json.dumps({"stage": "dcrf", "saved": n_saved,
-                      "images_per_sec": round(n_saved / max(time.perf_counter() - t0, 1e-9), 3)}))
+    print(json.dumps({"stage": "dcrf", "saved": n_saved, **timer.stats()}))
 
 
 # ---------------------------------------------------------------- training
@@ -797,12 +943,20 @@ def _train_loop(cfg, trainer, loader, stage: str, eval_fn=None, vis_fn=None):
                         run_name=stage)
     t0 = time.perf_counter()
     n_img = 0
+    timer = _StageTimer()
     for batch in loader:
         batch = {k: v for k, v in batch.items() if k != "image_id"}
         metrics = trainer.train_step(batch)
+        if timer.t1 is None:
+            # scalar readback: the only true sync over the axon tunnel
+            # (PERF.md round-1 finding) — charge compile+load to first_batch_s
+            float(np.asarray(metrics["total_loss"]).ravel()[0])
+        timer.batch(int(np.asarray(batch["batch_valid"]).sum()))
         if (vis_fn is not None and cfg.vis_every > 0
                 and trainer.step % cfg.vis_every == 0):
-            vis_fn(trainer.state.params, batch, trainer.step)
+            vis_fn(trainer.state.params,
+                   _unpack_train_batch_host(batch, cfg.data.image_size),
+                   trainer.step)
         n_img += int(np.asarray(batch["batch_valid"]).sum())
         step = trainer.step
         if step % cfg.log_every == 0:
@@ -822,11 +976,19 @@ def _train_loop(cfg, trainer, loader, stage: str, eval_fn=None, vis_fn=None):
             trainer.save()
         if step >= cfg.max_iters:
             break
+    # close the measurement window with a true sync (scalar readback) before
+    # reading the clock — block_until_ready returns early over the tunnel
+    try:
+        float(np.asarray(metrics["total_loss"]).ravel()[0])
+    except (NameError, KeyError):
+        pass
+    stats = timer.stats()
     if trainer._ckpt is not None:
         trainer.save()
     mlog.close()
     return {"steps": trainer.step,
-            "images_per_sec": round(n_img / max(time.perf_counter() - t0, 1e-9), 3)}
+            "images_per_sec": round(n_img / max(time.perf_counter() - t0, 1e-9), 3),
+            **{k: v for k, v in stats.items() if k != "images_per_sec"}}
 
 
 def cmd_train_proposal(args):
@@ -852,7 +1014,9 @@ def cmd_train_proposal(args):
                                          else cfg.paths.proposals)
     logger.info("stage 3: %d train items on this host", len(items))
 
-    seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=1, num_queries=args.num_queries)
+    seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=1,
+                         num_queries=args.num_queries,
+                         freeze_trunk=args.freeze_trunk)
     n_pts = 1024 if args.tiny else 12544
     model_cfg = ProposalModelConfig(
         segmenter=seg,
@@ -880,7 +1044,10 @@ def cmd_train_proposal(args):
             max_iter=cfg.max_iters),
         mesh=mesh,
         checkpoint_dir=os.path.join(cfg.checkpoint_dir, "proposal"),
-        seed=cfg.seed)
+        seed=cfg.seed,
+        # wire format: masks upload bit-packed + image uint8 (see
+        # _pack_train_batch); unpacked on device inside the compiled step
+        batch_prepare=_unpack_train_batch(cfg.data.image_size))
     trainer.resume_or_load()
 
     mapper = ProposalTrainMapper(image_size=size, capacity=cfg.data.mask_capacity,
@@ -899,7 +1066,7 @@ def cmd_train_proposal(args):
     vis_fn = (_make_vis_fn(model, os.path.join(cfg.checkpoint_dir, "logs",
                                                "train-proposal", "vis"))
               if cfg.vis_every > 0 else None)
-    stats = _train_loop(cfg, trainer, loader, "train-proposal",
+    stats = _train_loop(cfg, trainer, _packed_batches(loader), "train-proposal",
                         eval_fn=eval_fn, vis_fn=vis_fn)
     print(json.dumps({"stage": "train-proposal", **stats}))
 
@@ -928,7 +1095,10 @@ def cmd_train_distillation(args):
     num_obj = args.num_object_classes
     seg = _segmenter_cfg(args.tiny, msda=_msda(args), num_classes=args.num_parts,
                          num_queries=args.num_queries,
-                         num_object_classes=num_obj, num_parts=args.num_parts)
+                         num_object_classes=num_obj, num_parts=args.num_parts,
+                         # reference stage-5 launch config freezes backbone +
+                         # encoder too (train.sh:8)
+                         freeze_trunk=args.freeze_trunk)
     if cfg.n_model_shards <= 1:
         import dataclasses as _dc
 
@@ -974,10 +1144,14 @@ def cmd_train_distillation(args):
     trainer = Trainer(
         loss_fn=make_loss_fn(model_cfg),
         init_params=params,
-        optimizer_cfg=OptimizerConfig(max_iter=cfg.max_iters),
+        optimizer_cfg=OptimizerConfig(
+            freeze_keys=("backbone", "pixel_decoder") if args.freeze_trunk
+            else (),
+            max_iter=cfg.max_iters),
         mesh=mesh,
         checkpoint_dir=os.path.join(cfg.checkpoint_dir, "part_distillation"),
         seed=cfg.seed,
+        batch_prepare=_unpack_train_batch(cfg.data.image_size),
         # n_model_shards > 1 shards the giant head's kernel AND its Adam
         # moments over the model axis (size-1 axis = replicated, no-op)
         sharding_rules=giant_head_rule,
@@ -1009,7 +1183,8 @@ def cmd_train_distillation(args):
                                                "train-distillation", "vis"),
                            needs_object_class=True)
               if cfg.vis_every > 0 else None)
-    stats = _train_loop(cfg, trainer, loader, "train-distillation",
+    stats = _train_loop(cfg, trainer, _packed_batches(loader),
+                        "train-distillation",
                         eval_fn=eval_fn, vis_fn=vis_fn)
     print(json.dumps({"stage": "train-distillation", **stats}))
 
@@ -1175,22 +1350,45 @@ def cmd_rank(args):
         return batch_iterator(items, mapper, cfg.data.batch_size,
                               num_workers=cfg.data.num_workers)
 
+    # wire format: uint8 image + bit-packed mask uploads; pred-mask
+    # downloads bit-packed (save phase) — unpack/pack inside the jit
+    from .utils.bitpack import pack_bits, pack_bits_np, unpack_bits, unpack_bits_np
+
+    def _wire_in(batch):
+        return {
+            "image": jnp.asarray(
+                np.clip(batch["image"], 0, 255).astype(np.uint8)),
+            "masks_p": jnp.asarray(pack_bits_np(batch["part_masks"])),
+            "mask_valid": jnp.asarray(batch["part_valid"]),
+            "object_mask_p": jnp.asarray(pack_bits_np(batch["object_mask"])),
+        }
+
+    def _wire_unpack(wire):
+        return {
+            "image": wire["image"].astype(jnp.float32),
+            "masks": unpack_bits(wire["masks_p"], size),
+            "mask_valid": wire["mask_valid"],
+            "object_mask": unpack_bits(wire["object_mask_p"], size),
+        }
+
+    phase_stats = {}
     if "cluster" in phases:
         from .engine.launch import barrier, is_main_process
 
-        cluster_fn = jax.jit(make_cluster_fn(rank_cfg))
+        raw_cluster_fn = make_cluster_fn(rank_cfg)
+        cluster_fn = jax.jit(
+            lambda p, wire: raw_cluster_fn(p, _wire_unpack(wire)))
         clusterer = ClusteringModule(num_obj, seg.decoder.hidden_dim,
                                      args.num_clusters,
                                      distributed=jax.process_count() > 1)
+        timer = _StageTimer()
         for batch in batches():
-            out = cluster_fn(params, {
-                "image": jnp.asarray(batch["image"]),
-                "masks": jnp.asarray(batch["part_masks"]),
-                "mask_valid": jnp.asarray(batch["part_valid"]),
-                "object_mask": jnp.asarray(batch["object_mask"])})
+            out = cluster_fn(params, _wire_in(batch))
             bv = batch["batch_valid"]
             out = {k: np.asarray(v)[bv] for k, v in out.items()}
             clusterer.process(out, np.asarray(batch["class_id"])[bv])
+            timer.batch(int(np.sum(bv)))
+        phase_stats["cluster"] = timer.stats()
         # evaluate() all-gathers features across hosts; only process 0 writes
         # the shared bank (the reference's rank-0 sklearn ClusteringModule,
         # clustering_module.py:43-70)
@@ -1203,19 +1401,28 @@ def cmd_rank(args):
 
     if "save" in phases:
         centroids = jnp.asarray(np.load(centroid_path)["centroids"])
-        label_fn = jax.jit(make_label_fn(rank_cfg, RankingMode.SAVE))
+        raw_label_fn = make_label_fn(rank_cfg, RankingMode.SAVE)
+
+        def _label_wire(p, wire, cents):
+            out = dict(raw_label_fn(p, {
+                **_wire_unpack(wire),
+                "object_label": wire["object_label"],
+                "mask_labels": wire["mask_labels"]}, cents))
+            out["pred_masks"] = pack_bits(out["pred_masks"])
+            return out
+
+        label_fn = jax.jit(_label_wire)
         shard, num_shards = _shard_id(args)
         writer = ShardWriter(cfg.paths.part_masks_with_class, shard, num_shards)
         n_saved = 0
+        timer = _StageTimer()
         for batch in batches():
             out = label_fn(params, {
-                "image": jnp.asarray(batch["image"]),
+                **_wire_in(batch),
                 "object_label": jnp.asarray(batch["class_id"]),
-                "masks": jnp.asarray(batch["part_masks"]),
                 "mask_labels": jnp.zeros(batch["part_valid"].shape, jnp.int32),
-                "mask_valid": jnp.asarray(batch["part_valid"]),
-                "object_mask": jnp.asarray(batch["object_mask"])}, centroids)
-            pm = np.asarray(out["pred_masks"])
+            }, centroids)
+            pm = unpack_bits_np(np.asarray(out["pred_masks"]), size)
             sc = np.asarray(out["scores"])
             lb = np.asarray(out["pred_labels"])
             va = np.asarray(out["valid"])
@@ -1232,7 +1439,9 @@ def cmd_rank(args):
                     "part_scores": [float(sc[b, i]) for i in keep],
                     "object_class": int(batch["class_id"][b]),
                 }))
+            timer.batch(int(np.sum(batch["batch_valid"])))
         writer.close()
+        phase_stats["save"] = {"saved": n_saved, **timer.stats()}
         logger.info("stage 4 save: %d records", n_saved)
 
     if "match" in phases or "eval" in phases:
@@ -1240,7 +1449,7 @@ def cmd_rank(args):
                          num_obj, ds=ds)
 
     print(json.dumps({"stage": "rank", "phases": phases,
-                      "dataset": eval_dataset}))
+                      "dataset": eval_dataset, **phase_stats}))
 
 
 def _rank_match_eval(cfg, args, rank_cfg, params, centroid_path, phases, num_obj,
@@ -1385,22 +1594,41 @@ def cmd_distill_save(args):
     logger.info("stage 5 save: %d images to process", len(items))
 
     model_cfg, params = _distill_setup(cfg, args)
-    infer_fn = jax.jit(make_inference_fn(model_cfg, mode="save"))
+    raw_infer_fn = make_inference_fn(model_cfg, mode="save")
+    size = cfg.data.image_size
+
+    # wire format: uint8 image + bit-packed masks up, packed pred masks down
+    from .utils.bitpack import pack_bits, pack_bits_np, unpack_bits, unpack_bits_np
+
+    def _infer_wire(p, wire):
+        out = dict(raw_infer_fn(p, {
+            "image": wire["image_u8"].astype(jnp.float32),
+            "gt_object_class": wire["gt_object_class"],
+            "part_masks": unpack_bits(wire["part_masks_p"], size),
+            "part_labels": wire["part_labels"],
+            "part_valid": wire["part_valid"],
+            "object_masks": unpack_bits(wire["object_mask_p"], size)[:, None],
+            "object_valid": jnp.ones((wire["object_mask_p"].shape[0], 1), bool),
+        }))
+        out["pred_masks"] = pack_bits(out["pred_masks"])
+        return out
+
+    infer_fn = jax.jit(_infer_wire)
     mapper = PartDistillationSaveMapper(image_size=cfg.data.image_size,
                                         capacity=cfg.data.mask_capacity)
-    n_saved, n_batches, t0 = 0, 0, time.perf_counter()
+    n_saved, n_batches, timer = 0, 0, _StageTimer()
     for batch in batch_iterator(items, mapper, cfg.data.batch_size,
                                 num_workers=cfg.data.num_workers):
         out = infer_fn(params, {
-            "image": jnp.asarray(batch["image"]),
+            "image_u8": jnp.asarray(
+                np.clip(batch["image"], 0, 255).astype(np.uint8)),
             "gt_object_class": jnp.asarray(batch["gt_object_class"]),
-            "part_masks": jnp.asarray(batch["part_masks"]),
+            "part_masks_p": jnp.asarray(pack_bits_np(batch["part_masks"])),
             "part_labels": jnp.asarray(batch["part_labels"]),
             "part_valid": jnp.asarray(batch["part_valid"]),
-            "object_masks": jnp.asarray(batch["object_mask"])[:, None],
-            "object_valid": jnp.ones((batch["object_mask"].shape[0], 1), bool),
+            "object_mask_p": jnp.asarray(pack_bits_np(batch["object_mask"])),
         })
-        pm = np.asarray(out["pred_masks"])
+        pm = unpack_bits_np(np.asarray(out["pred_masks"]), size)
         sc = np.asarray(out["scores"])
         lb = np.asarray(out["pred_labels"])
         va = np.asarray(out["valid"])
@@ -1418,11 +1646,11 @@ def cmd_distill_save(args):
                 "object_class": int(batch["gt_object_class"][b]),
             }))
         n_batches += 1
+        timer.batch(int(np.sum(batch["batch_valid"])))
         if n_batches % 20 == 0:
             writer.flush()
     writer.close()
-    print(json.dumps({"stage": "distill-save", "saved": n_saved,
-                      "images_per_sec": round(n_saved / max(time.perf_counter() - t0, 1e-9), 3)}))
+    print(json.dumps({"stage": "distill-save", "saved": n_saved, **timer.stats()}))
 
 
 def _distill_match_eval(cfg, args, model_cfg, params, phases, ds=None) -> Optional[dict]:
@@ -1651,7 +1879,8 @@ def cmd_train_supervised(args):
         optimizer_cfg=OptimizerConfig(max_iter=cfg.max_iters),
         mesh=mesh,
         checkpoint_dir=os.path.join(cfg.checkpoint_dir, "supervised"),
-        seed=cfg.seed)
+        seed=cfg.seed,
+        batch_prepare=_unpack_train_batch(cfg.data.image_size))
     trainer.resume_or_load()
     loader = DataLoader(items, mapper, cfg.data.batch_size, shuffle=True,
                         seed=cfg.seed, epochs=None,
@@ -1666,7 +1895,8 @@ def cmd_train_supervised(args):
         vis_fn = _make_vis_fn(
             MaskFormerSegmenter(model_cfg.segmenter),
             os.path.join(cfg.checkpoint_dir, "logs", "train-supervised", "vis"))
-    stats = _train_loop(cfg, trainer, loader, "train-supervised",
+    stats = _train_loop(cfg, trainer, _packed_batches(loader),
+                        "train-supervised",
                         eval_fn=eval_fn, vis_fn=vis_fn)
     print(json.dumps({"stage": "train-supervised", **stats}))
 
@@ -1705,7 +1935,8 @@ def cmd_eval_pixel_grouping(args):
                                cfg.data.part_imagenet_images,
                                debug_limit=cfg.data.debug_limit)
     gen_cfg = ProposalGenerationConfig(
-        swin=_tiny_swin() if args.tiny else swin_large_config(),
+        swin=_tiny_swin() if args.tiny
+        else swin_large_config(dtype=jnp.bfloat16),
         num_clusters=args.num_clusters)
     gen_fn = jax.jit(make_generation_fn(gen_cfg))
     backbone = SwinTransformer(gen_cfg.swin)
@@ -2047,6 +2278,9 @@ def build_parser():
     p.add_argument("--num-queries", type=int, default=200)
     p.add_argument("--num-parts", type=int, default=8)
     p.add_argument("--num-object-classes", type=int, default=22000)
+    p.add_argument("--freeze-trunk", action="store_true", default=True)
+    p.add_argument("--no-freeze-trunk", dest="freeze_trunk",
+                   action="store_false")
     p.set_defaults(fn=cmd_train_distillation)
 
     p = sub.add_parser("distill-save",

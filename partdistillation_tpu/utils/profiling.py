@@ -37,7 +37,9 @@ def trace_steps(step_fn: Callable[[], None], trace_dir: str,
 
 def summarize_trace(trace_dir: str, steps: int = 3,
                     scope_depth: int = 4,
-                    hlo_text: Optional[str] = None) -> Dict[str, float]:
+                    hlo_text: Optional[str] = None,
+                    kind_filter: Optional[tuple] = None,
+                    return_detail: bool = False) -> Dict[str, float]:
     """Aggregate per-op device time (ms/step) from a captured trace.
 
     Buckets by the op's HLO ``op_name`` metadata (carries jax.named_scope
@@ -45,6 +47,12 @@ def summarize_trace(trace_dir: str, steps: int = 3,
     otherwise by the event name's op kind. ``copy-start``/``slice-start``
     events are skipped — they are asynchronous prefetches whose duration
     spans the program, not real cost.
+
+    ``kind_filter``: restrict to events whose HLO op name starts with one of
+    the given kinds (e.g. ``("fusion",)`` decomposes the generic fusion tail
+    by owning scope, ``("copy", "transpose")`` localizes layout copies).
+    ``return_detail``: also return ``{scope: {op_kind: ms}}`` so each
+    scope's cost splits by op kind.
     """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
 
@@ -87,14 +95,23 @@ def summarize_trace(trace_dir: str, steps: int = 3,
         agg = cpu_agg
 
     bucket: collections.Counter = collections.Counter()
+    detail: Dict[str, collections.Counter] = collections.defaultdict(
+        collections.Counter)
     for op, ms in agg.items():
         if op.startswith(("copy-start", "slice-start")):
             continue
         base = op.split(" ")[0].lstrip("%")
+        kind = base.split(".")[0].rstrip("0123456789_-")
+        if kind_filter is not None and not kind.startswith(tuple(kind_filter)):
+            continue
         name = opname.get(base, "")
         if name:
             scope = "/".join(name.split("/")[:scope_depth])
         else:
-            scope = "<" + base.split(".")[0] + ">"
+            scope = "<" + kind + ">"
         bucket[scope] += ms
-    return dict(bucket.most_common())
+        detail[scope][kind] += ms
+    out = dict(bucket.most_common())
+    if return_detail:
+        return out, {k: dict(v.most_common()) for k, v in detail.items()}
+    return out

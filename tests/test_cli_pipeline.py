@@ -208,7 +208,7 @@ def test_stage4_rank_match_eval(pipeline_env, capsys):
 
 def test_stage5_train_distillation(pipeline_env, capsys):
     ov = pipeline_env["overrides"]
-    res = _run(["train-distillation", "--tiny", "--num-queries", "8",
+    res = _run(["train-distillation", "--tiny", "--no-freeze-trunk", "--num-queries", "8",
                 "--num-parts", "3", "--num-object-classes", "4",
                 "--set", *ov], capsys)
     assert res["steps"] >= 2
@@ -254,7 +254,7 @@ def test_stage5_warm_start_from_stage3(pipeline_env, capsys):
     ov = [o for o in pipeline_env["overrides"]
           if not o.startswith("checkpoint_dir=")]
     ov += [f"checkpoint_dir={pipeline_env['tmp']}/ckpt_warm"]
-    res = _run(["train-distillation", "--tiny", "--num-queries", "8",
+    res = _run(["train-distillation", "--tiny", "--no-freeze-trunk", "--num-queries", "8",
                 "--num-parts", "3", "--num-object-classes", "4",
                 "--trainer-checkpoint",
                 str(pipeline_env["tmp"] / "ckpt/proposal"),

@@ -195,3 +195,32 @@ class TestFusedWindowAttention:
             np.testing.assert_allclose(np.asarray(outs[0][key]),
                                        np.asarray(outs[1][key]),
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_qkv_layout_bfn_equivalence():
+    """SwinBlock qkv_layout='bfn' (relayout-free qkv feed, VERDICT r4 #2)
+    equals the default 'fbn' path with an IDENTICAL param tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from partdistillation_tpu.models.swin import SwinBlock
+
+    kw = dict(dim=16, num_heads=4, window_size=4, shift_size=2,
+              mlp_ratio=4.0, qkv_bias=True, qk_scale=None, drop_path=0.0,
+              dtype=jnp.float32, fused_attention=True, fused_layernorm=False,
+              fused_mlp=False)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 16), jnp.float32)
+    a = SwinBlock(**kw, qkv_layout="fbn")
+    b = SwinBlock(**kw, qkv_layout="bfn")
+    pa = a.init(jax.random.PRNGKey(0), x, True)
+    pb = b.init(jax.random.PRNGKey(0), x, True)
+    sa = jax.tree_util.tree_structure(pa)
+    sb = jax.tree_util.tree_structure(pb)
+    assert sa == sb, (sa, sb)
+    shapes = jax.tree_util.tree_map(lambda u, v: u.shape == v.shape, pa, pb)
+    assert all(jax.tree_util.tree_leaves(shapes))
+    ya = a.apply(pa, x, True)
+    yb = b.apply(pa, x, True)  # same params through both layouts
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               atol=1e-5, rtol=1e-5)

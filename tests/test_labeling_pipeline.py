@@ -128,3 +128,98 @@ def test_pipelined_loop_resume_skips(env):
                                      region_scorer=env["scorer"],
                                      image_size=64, batch_size=4)
     assert stats["saved"] == 0 and stats["skipped"] == 11
+
+
+def test_class_match_selection_quality_with_engineered_tower():
+    """VERDICT r4 #6: selection QUALITY, not just plumbing. A deterministic
+    color-probe tower (mean-pooled RGB projection — CLIP-shaped contract:
+    fn(params, pixels)->(N,D)) makes region embeddings separably encode the
+    synthetic colors; with text rows built from pure-color probes through
+    the SAME pipeline, the scorer must classify the red/green regions
+    correctly, and _save_detection (the production class-match core,
+    labeling_detic.py:64-77 semantics) must pick the class-MATCHED
+    detection over a higher-scoring wrong-class one — and fall back to
+    keep-all ranking when the synset has no match."""
+    import jax
+    import jax.numpy as jnp
+
+    from partdistillation_tpu.models.meta_arch.labeling import (
+        _save_detection, select_class_matched_topk)
+    from partdistillation_tpu.utils import rle as rle_codec
+
+    d = 8
+    rng = np.random.RandomState(3)
+    proj = rng.randn(3, d).astype(np.float32)
+
+    def vision_apply(params, pixels):
+        # (N, S, S, 3) CLIP-normalized -> mean color -> (N, D)
+        return jnp.mean(pixels, axis=(1, 2)) @ params
+
+    # text rows = pure-color probes through the same tower + normalization
+    from partdistillation_tpu.models.clip_vit import normalize_clip_pixels
+
+    probes = np.zeros((2, 8, 8, 3), np.float32)
+    probes[0, :, :, 0] = 200 / 255.0  # "red thing"
+    probes[1, :, :, 1] = 200 / 255.0  # "green thing"
+    temb = np.asarray(vision_apply(proj, normalize_clip_pixels(
+        jnp.asarray(probes))))
+    temb /= np.linalg.norm(temb, axis=-1, keepdims=True)
+
+    from partdistillation_tpu.models.meta_arch.labeling import (
+        LabelingConfig, clip_region_scorer_jax)
+
+    img = np.full((64, 64, 3), 120, np.uint8)
+    img[8:56, 4:28] = [210, 40, 40]    # red region
+    img[8:56, 36:60] = [40, 210, 40]   # green region
+    m_red = np.zeros((64, 64), bool)
+    m_red[8:56, 4:28] = True
+    m_green = np.zeros((64, 64), bool)
+    m_green[8:56, 36:60] = True
+    m_bg = np.zeros((64, 64), bool)
+    m_bg[:8, :8] = True
+    masks = np.stack([m_red, m_green, m_bg])
+
+    for backend in ("host", "device"):
+        scorer = clip_region_scorer_jax(vision_apply, temb, crop_size=16,
+                                        capacity=4, vision_params=proj,
+                                        crop_backend=backend)
+        ids, probs = scorer(img, masks)
+        assert ids[0] == 0 and ids[1] == 1, (backend, ids, probs)
+        # informative scores: the matched color wins decisively
+        assert probs[0] > 0.9 and probs[1] > 0.9, (backend, probs)
+
+    # ---- class-match selection core: wrong-class detection scores HIGHER
+    maskness = np.array([0.9, 0.6, 0.8], np.float32)  # red > bg > green
+    det = {"masks": masks, "scores": maskness * probs,
+           "class_ids": np.asarray(ids, np.int32)}
+
+    class W:
+        def __init__(self):
+            self.records = []
+
+        def write(self, rec):
+            self.records.append(rec)
+            return True
+
+    # target = green (class 1): must select green despite red's higher score
+    w = W()
+    assert _save_detection(det, {"image_id": "a", "class_id": 1}, w,
+                           LabelingConfig(topk=2), rle_codec)
+    assert w.records[0]["pred_classes"][0] == 1
+    sel = rle_codec.decode(w.records[0]["object_masks"][0])
+    assert (sel & m_green).sum() / max((sel | m_green).sum(), 1) > 0.99
+
+    # synset-mismatch fallback: class 7 has no match -> keep-all by score
+    w2 = W()
+    assert _save_detection(det, {"image_id": "b", "class_id": 7}, w2,
+                           LabelingConfig(topk=3), rle_codec)
+    assert w2.records[0]["pred_classes"][0] == 0  # red: top combined score
+    assert len(w2.records[0]["scores"]) == 3      # fallback kept ALL dets
+
+    # the jit selection core agrees with the numpy save path on both cases
+    for target, want_first in ((1, 1), (7, 0)):
+        idx, _, valid = select_class_matched_topk(
+            jnp.asarray(det["scores"]), jnp.asarray(det["class_ids"]),
+            jnp.ones(3, bool), jnp.asarray(target), LabelingConfig(topk=3))
+        first = int(np.asarray(det["class_ids"])[int(idx[0])])
+        assert first == want_first and bool(valid[0])

@@ -52,6 +52,25 @@ def main():
         for scope, ms in list(buckets.items())[:30]:
             print(f"{ms:9.2f} ms/step  {scope[:110]}")
 
+        # VERDICT r4 #3: decompose the generic %fusion tail by owning scope
+        fus, fdetail = summarize_trace(trace_dir, steps=3, hlo_text=hlo_text,
+                                       scope_depth=6, kind_filter=("fusion",),
+                                       return_detail=True)
+        print(f"\n--- FUSION TAIL by scope (total "
+              f"{sum(fus.values()):.1f} ms/step, top 30) ---")
+        for scope, ms in list(fus.items())[:30]:
+            print(f"{ms:9.2f} ms/step  {scope[:110]}")
+
+        # VERDICT r4 #2: localize layout copies by owning scope
+        cps, _ = summarize_trace(trace_dir, steps=3, hlo_text=hlo_text,
+                                 scope_depth=6,
+                                 kind_filter=("copy", "transpose", "bitcast"),
+                                 return_detail=True)
+        print(f"\n--- LAYOUT COPIES by scope (total "
+              f"{sum(cps.values()):.1f} ms/step, top 25) ---")
+        for scope, ms in list(cps.items())[:25]:
+            print(f"{ms:9.2f} ms/step  {scope[:110]}")
+
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)

@@ -61,7 +61,10 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
             # BENCH_QKV_LAYOUT=bfn: qkv projection emits (B,3C,N) so the
             # per-q/k/v slices land in the window kernel's layout with no
             # whole-tensor relayout (VERDICT r4 #2 A/B)
-            qkv_layout=os.environ.get("BENCH_QKV_LAYOUT", "fbn")),
+            qkv_layout=os.environ.get("BENCH_QKV_LAYOUT", "bfn"),
+            # BENCH_FUSED_PROJ=1: fuse the output projection into the window
+            # attention kernel (attention output never round-trips HBM)
+            fused_proj=os.environ.get("BENCH_FUSED_PROJ", "0") == "1"),
         # banded MSDA is exact here: the encoder is FROZEN (the stage-3
         # launch config), so offsets stay at the deformable-DETR init whose
         # max magnitude is n_points=4 level pixels < radius 6; measured
@@ -78,8 +81,11 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
             # BENCH_BAND_TX: 2-D banding tile edge (unset = 1-D row bands)
             msda_band_tile_x=(int(os.environ["BENCH_BAND_TX"])
                               if os.environ.get("BENCH_BAND_TX") else None)),
-        decoder=TransformerDecoderConfig(num_classes=1, num_queries=200, dec_layers=9,
-                                         dtype=dtype),
+        decoder=TransformerDecoderConfig(
+            num_classes=1, num_queries=200, dec_layers=9, dtype=dtype,
+            # BENCH_MASK_MAJOR=0: A/B back to resizing each layer's full-res
+            # mask logits instead of once-resized mask features (r5 adoption)
+            attn_mask_from_features=os.environ.get("BENCH_MASK_MAJOR", "1") == "1"),
         # reference stage-3 freeze (train_multi.sh:8): stop-gradient releases
         # all trunk backward activations on top of the optimizer masking
         freeze_backbone=True,

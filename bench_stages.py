@@ -35,13 +35,26 @@ def _sync(x):
     return float(jnp.asarray(x).ravel()[0])
 
 
+def _swin_knobs():
+    """A/B env knobs shared with bench.py (tools/ab_bench.py discipline) so
+    the forward-only trunk stages can measure the same levers."""
+    kw = {}
+    if "BENCH_FUSED_MLP" in os.environ:
+        kw["fused_mlp"] = os.environ["BENCH_FUSED_MLP"] == "1"
+    if "BENCH_QKV_LAYOUT" in os.environ:
+        kw["qkv_layout"] = os.environ["BENCH_QKV_LAYOUT"]
+    if "BENCH_FUSED_PROJ" in os.environ:
+        kw["fused_proj"] = os.environ["BENCH_FUSED_PROJ"] == "1"
+    return kw
+
+
 def bench_stage2(batch_size: int = 8, image_size: int = 640, iters: int = 8):
     from partdistillation_tpu.models.meta_arch.proposal_generation import (
         ProposalGenerationConfig, make_generation_fn)
     from partdistillation_tpu.models.meta_arch.proposal import normalize_images
     from partdistillation_tpu.models.swin import SwinTransformer, swin_large_config
 
-    cfg = ProposalGenerationConfig(swin=swin_large_config(dtype=jnp.bfloat16))
+    cfg = ProposalGenerationConfig(swin=swin_large_config(dtype=jnp.bfloat16, **_swin_knobs()))
     gen_fn = jax.jit(make_generation_fn(cfg))
     backbone = SwinTransformer(cfg.swin)
     rng = np.random.RandomState(0)
@@ -97,7 +110,7 @@ def bench_stage1(batch_size: int = 8, image_size: int = 640, topk: int = 10,
         TransformerDecoderConfig)
 
     seg = SegmenterConfig(
-        swin=swin_large_config(dtype=dtype),
+        swin=swin_large_config(dtype=dtype, **_swin_knobs()),
         # banded r4 exact: detect runs frozen converted/trained weights
         pixel_decoder=PixelDecoderConfig(dtype=dtype, msda_mode="banded",
                                          msda_band_radius=4),
@@ -333,7 +346,7 @@ def bench_stage4(batch_size: int = 8, image_size: int = 640, iters: int = 8,
         TransformerDecoderConfig)
 
     seg = SegmenterConfig(
-        swin=swin_large_config(dtype=dtype),
+        swin=swin_large_config(dtype=dtype, **_swin_knobs()),
         # banded MSDA is exact here: ranking runs the FROZEN stage-3
         # checkpoint (eval-only), so sampling offsets are fixed at their
         # trained values (measured in-band at radius 4,
@@ -465,7 +478,7 @@ def bench_stage5(batch_size: int = 16, image_size: int = 640,
         TransformerDecoderConfig)
 
     seg = SegmenterConfig(
-        swin=swin_large_config(dtype=dtype),
+        swin=swin_large_config(dtype=dtype, **_swin_knobs()),
         # banded MSDA is exact here: the stage-5 launch config freezes
         # backbone+encoder (train.sh:8), so offsets never move (radius 4
         # covers the init cap exactly — PERF.md round-3 radius table)

@@ -73,7 +73,16 @@ class SwinConfig:
     # "bfn"  — the einsum emits (B, 3C, N); the (3,H,hd) split of axis 1 is a
     #          free view and the per-q/k/v slices land directly in the
     #          kernel's (B, H, hd, N) layout. A/B knob (BENCH_QKV_LAYOUT).
-    qkv_layout: str = "fbn"
+    # Default "bfn" since round 5: interleaved repeat A/B measured a
+    # reproducible -1.3 ms/step on the stage-3 bench (632.2/632.0 vs
+    # 633.8/633.0 ms), additive with attn_mask_from_features (combined
+    # 629.9/629.8 — PERF.md round 5). Param tree identical to "fbn".
+    qkv_layout: str = "bfn"
+    # Fuse the attention output projection into the window-attention Pallas
+    # program (the (bnw, H, hd, n) attention output never round-trips HBM —
+    # VERDICT r4 #7). Res5 falls back to the two-step path (over VMEM budget).
+    # A/B knob: BENCH_FUSED_PROJ.
+    fused_proj: bool = False
 
     @property
     def num_layers(self) -> int:
@@ -217,6 +226,7 @@ class WindowAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused: bool = True
     qkv_layout: str = "fbn"
+    fused_proj: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -260,6 +270,23 @@ class WindowAttention(nn.Module):
                 per = bias[None].astype(jnp.float32) + mask[:, None]
             else:
                 per = bias[None].astype(jnp.float32)
+            if self.fused_proj:
+                # attention + output projection in ONE Pallas program: the
+                # (bnw, H, hd, n) attention output never round-trips HBM
+                # (VERDICT r4 #7). Param tree identical to the two-step path.
+                from ..ops.fused_attention import fused_window_attention_proj
+
+                pw, pb = _DenseParams(self.dim, name="proj")(c)
+                out = fused_window_attention_proj(
+                    qt, kt, vt, per, pw.astype(self.dtype),
+                    pb.astype(self.dtype), scale=scale)
+                if out is not None:
+                    return out
+                # over-budget shapes (res5): two-step with the same params
+                out = fused_window_attention(qt, kt, vt, per, scale=scale)
+                out = out.reshape(bnw, c, n)
+                y = jnp.einsum("bfn,fc->bnc", out, pw.astype(self.dtype))
+                return y + pb.astype(self.dtype)
             out = fused_window_attention(qt, kt, vt, per, scale=scale)
             out = out.reshape(bnw, c, n)           # (H, hd) adjacent: bitcast
             return TransposedInputDense(self.dim, dtype=self.dtype,
@@ -348,6 +375,7 @@ class SwinBlock(nn.Module):
     fused_layernorm: bool = False
     fused_mlp: bool = False
     qkv_layout: str = "fbn"
+    fused_proj: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
@@ -382,6 +410,7 @@ class SwinBlock(nn.Module):
             dtype=self.dtype,
             fused=self.fused_attention,
             qkv_layout=self.qkv_layout,
+            fused_proj=self.fused_proj,
             name="attn",
         )(windows, mask)
         x = _window_reverse(attn_out, ws, b, hp, wp)
@@ -472,6 +501,7 @@ class SwinTransformer(nn.Module):
                     dtype=cfg.dtype,
                     fused_attention=cfg.fused_attention,
                     qkv_layout=cfg.qkv_layout,
+                    fused_proj=cfg.fused_proj,
                     fused_layernorm=cfg.fused_layernorm,
                     fused_mlp=cfg.fused_mlp,
                     name=f"stage{stage}_block{blk}",

@@ -70,6 +70,24 @@ class TransformerDecoderConfig:
     # Pallas fused masked attention for the decoder's cross-attention
     # (TPU only; XLA composition elsewhere). ops/fused_attention.py.
     use_fused_attention: bool = True
+    # Attention-block-mask construction (VERDICT r4 #2 layout-copy attack):
+    #   False — reference-shaped: bilinearly resize each layer's full-res
+    #     (B, Q, H/4, W/4) mask logits down to the next layer's key scale
+    #     (10 resizes + their relayout copies per step, profiled ~1.1 ms x10).
+    #   True  — resize `mask_features` ONCE per key scale and contract the
+    #     query embed against the small resized features. Bilinear resize is
+    #     linear in its input and the mask logits are linear in the features
+    #     (masks = membed . features), so resize(membed . F) ==
+    #     membed . resize(F) exactly up to float reassociation — the boolean
+    #     block mask is identical except for values within float error of the
+    #     0.5 sigmoid threshold (equivalence tested in
+    #     tests/test_models.py::test_attn_mask_from_features_equivalent).
+    #     A/B knob: BENCH_MASK_MAJOR.
+    # Default True since round 5: interleaved repeat A/B measured a
+    # reproducible -2.7 ms/step on the stage-3 bench (630.6/630.9 vs
+    # 633.8/633.0 ms), additive with qkv_layout="bfn" (combined 629.9/629.8
+    # ms = 25.40 img/s — PERF.md round 5).
+    attn_mask_from_features: bool = True
 
 
 class _MLP(nn.Module):
@@ -109,10 +127,23 @@ class _DecoderLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm_ffn")(q + y)
 
 
-def _attn_block_mask(mask_logits: jnp.ndarray, hw: Tuple[int, int], num_heads: int):
-    """(B, Q, H, W) mask logits -> (B, heads, Q, h*w) boolean block mask at the
-    next layer's scale; rows that would block everything are fully unblocked
+def _threshold_block_mask(m: jnp.ndarray):
+    """(B, Q, h, w) mask logits at the key scale -> (B, 1, Q, h*w) boolean
+    block mask; rows that would block everything are fully unblocked
     (reference mask2former_transformer_decoder.py:385, 452-455)."""
+    b, q, h, w = m.shape
+    blocked = jax.nn.sigmoid(m).reshape(b, q, h * w) < 0.5
+    all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
+    blocked = jnp.where(all_blocked, False, blocked)
+    blocked = jax.lax.stop_gradient(blocked)
+    # (B, 1, Q, K): heads share the mask — keep it unbroadcast so the fused
+    # kernel DMAs one copy per query tile instead of one per head.
+    return blocked[:, None]
+
+
+def _attn_block_mask(mask_logits: jnp.ndarray, hw: Tuple[int, int], num_heads: int):
+    """(B, Q, H, W) mask logits -> (B, 1, Q, h*w) boolean block mask at the
+    next layer's scale (the reference-shaped path: resize-then-threshold)."""
     b, q = mask_logits.shape[:2]
     h, w = hw
     # antialias=False: plain bilinear point-sampling at half-pixel centers,
@@ -121,14 +152,8 @@ def _attn_block_mask(mask_logits: jnp.ndarray, hw: Tuple[int, int], num_heads: i
     # downsample would shift sigmoid values across the 0.5 threshold
     m = jax.image.resize(mask_logits, (b, q, h, w), method="linear",
                          antialias=False)
-    blocked = jax.nn.sigmoid(m).reshape(b, q, h * w) < 0.5
-    all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
-    blocked = jnp.where(all_blocked, False, blocked)
-    blocked = jax.lax.stop_gradient(blocked)
-    # (B, 1, Q, K): heads share the mask — keep it unbroadcast so the fused
-    # kernel DMAs one copy per query tile instead of one per head.
     del num_heads
-    return blocked[:, None]
+    return _threshold_block_mask(m)
 
 
 class MultiScaleMaskedTransformerDecoder(nn.Module):
@@ -182,6 +207,18 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         mask_embed_mlp = _MLP(cfg.hidden_dim, cfg.mask_dim, 3, dtype=cfg.dtype, name="mask_embed")
         class_head = self._build_class_head()
 
+        if cfg.attn_mask_from_features:
+            # one bilinear resize of the (B, H/4, W/4, mask_dim) features per
+            # key scale, shared by all 10 prediction-head calls — replaces 10
+            # full-res (B, Q, H/4, W/4) mask-logit resizes + their relayouts
+            fc = mask_features.shape[-1]
+            feats_small = {
+                (h, w): jax.lax.stop_gradient(jax.image.resize(
+                    mask_features, (b, h, w, fc), method="linear",
+                    antialias=False))
+                for (h, w) in set(sizes)
+            }
+
         def prediction_heads(out, attn_size):
             dec = decoder_norm(out)  # (B, Q, C)
             logits = class_head(dec, gt_object_class)
@@ -191,7 +228,14 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             masks = jnp.einsum(
                 "bqc,bhwc->bqhw", membed, mask_features, preferred_element_type=jnp.float32
             ).astype(cfg.dtype)
-            bmask = _attn_block_mask(masks, attn_size, cfg.num_heads)
+            if cfg.attn_mask_from_features:
+                m_small = jnp.einsum(
+                    "bqc,bhwc->bqhw", jax.lax.stop_gradient(membed),
+                    feats_small[attn_size], preferred_element_type=jnp.float32
+                ).astype(cfg.dtype)
+                bmask = _threshold_block_mask(m_small)
+            else:
+                bmask = _attn_block_mask(masks, attn_size, cfg.num_heads)
             return logits, masks, bmask, dec
 
         pred_classes, pred_masks = [], []

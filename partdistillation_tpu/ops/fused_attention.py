@@ -42,7 +42,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["fused_masked_attention", "fused_window_attention",
-           "attention_reference", "attention_reference_t"]
+           "fused_window_attention_proj", "attention_reference",
+           "attention_reference_t", "window_attention_proj_reference"]
 
 _LANE = 128
 
@@ -367,6 +368,184 @@ def _fused_periodic_bwd(scale, res, g):
 
 
 _fused_periodic.defvjp(_fused_periodic_fwd, _fused_periodic_bwd)
+
+
+def window_attention_proj_reference(qt, kt, vt, bias, w, b, scale):
+    """XLA composition of attention + output projection: qt/kt/vt (B,H,D,N),
+    GROUPED bias (P,H,Nq,Nk), proj kernel w (H*D, C) + bias b (C,) ->
+    (B, Nq, C) token-major."""
+    bb = qt.shape[0]
+    full = bias if bias.shape[0] in (1, bb) else jnp.repeat(
+        bias, bb // bias.shape[0], axis=0)
+    out = attention_reference_t(qt, kt, vt, full, scale)  # (B, H, D, Nq)
+    h, d = out.shape[1], out.shape[2]
+    out = out.reshape(bb, h * d, out.shape[3])
+    y = jnp.einsum("bfn,fc->bnc", out, w.astype(out.dtype))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def _fwd_kernel_attn_proj(q_ref, k_ref, v_ref, m_ref, w_ref, b_ref, out_ref, *,
+                          windows: int, heads: int, head_dim: int,
+                          scale: float):
+    """Window attention + output projection in ONE program (VERDICT r4 #7:
+    the attention output never round-trips HBM between the window kernel and
+    the proj matmul). One program per window group; ALL heads resident. The
+    proj is accumulated per head — out(n, c) = sum_h attnT_h(n, d) @ w_h(d, c)
+    — three MXU dots per (window, head), zero in-kernel transposes (both
+    proj operands contract their sublane axis)."""
+    for wi in range(windows):
+        acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32),
+                               (out_ref.shape[1], out_ref.shape[2]))
+        for hh in range(heads):
+            qt = q_ref[wi, hh] * q_ref.dtype.type(scale)     # (D, Nq)
+            s = jax.lax.dot_general(qt, k_ref[wi, hh], (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + m_ref[0, hh].astype(jnp.float32)         # (Nq, Nk)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            attn = jax.lax.dot_general(                       # (D, Nq)
+                v_ref[wi, hh], p.astype(v_ref.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(v_ref.dtype)
+            acc = acc + jax.lax.dot_general(                  # (Nq, C)
+                attn, w_ref[hh * head_dim:(hh + 1) * head_dim, :],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[wi] = acc.astype(out_ref.dtype)
+
+
+def _attn_proj_fwd_pallas(qt, kt, vt, bias, w, b, scale,
+                          interpret: bool = False):
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bb, h, d, nq = qt.shape
+    nk = kt.shape[3]
+    c = w.shape[1]
+    per = bias.shape[0]
+    assert bb % per == 0, (bb, per)
+    g = bb // per
+    bp = bias.astype(jnp.float32)
+    brow = jnp.zeros((1, c), w.dtype) if b is None else b.reshape(1, c)
+
+    # VMEM: all heads of wpb windows (q/k/v), all-head bias, proj weight,
+    # f32 accumulator + out tile
+    lq, lk = -(-nq // _LANE) * _LANE, -(-nk // _LANE) * _LANE
+    lc = -(-c // _LANE) * _LANE
+    fixed = (h * lq * lk * 4            # bias (f32)
+             + h * d * lc * w.dtype.itemsize   # proj weight
+             + 2 * lq * lk * 4          # logits/probs scratch
+             + lq * lc * 4)             # f32 accumulator
+    per_w = (h * d * (lq + 2 * lk) * qt.dtype.itemsize   # q + k + v
+             + lq * lc * qt.dtype.itemsize)              # out tile
+    budget = 12 * 2**20
+    wpb = min(g, 8)
+    while wpb > 1 and (g % wpb or fixed + wpb * per_w > budget):
+        wpb -= 1
+    if fixed + wpb * per_w > budget:
+        return None  # caller falls back to the two-step path
+
+    return pl.pallas_call(
+        ft.partial(_fwd_kernel_attn_proj, windows=wpb, heads=h, head_dim=d,
+                   scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bb, nq, c), qt.dtype),
+        grid=(per, g // wpb),
+        in_specs=[
+            pl.BlockSpec((wpb, h, d, nq),
+                         lambda pi, bj: (pi * (g // wpb) + bj, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpb, h, d, nk),
+                         lambda pi, bj: (pi * (g // wpb) + bj, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpb, h, d, nk),
+                         lambda pi, bj: (pi * (g // wpb) + bj, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, nq, nk), lambda pi, bj: (pi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h * d, c), lambda pi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda pi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wpb, nq, c),
+                               lambda pi, bj: (pi * (g // wpb) + bj, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qt, kt, vt, bp, w, brow)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_attn_proj(qt, kt, vt, bias, w, b, scale):
+    out = _attn_proj_fwd_pallas(qt, kt, vt, bias, w, b, scale)
+    assert out is not None
+    return out
+
+
+def _fused_attn_proj_fwd(qt, kt, vt, bias, w, b, scale):
+    return _fused_attn_proj(qt, kt, vt, bias, w, b, scale), \
+        (qt, kt, vt, bias, w, b)
+
+
+def _fused_attn_proj_bwd(scale, res, g):
+    # XLA-composition VJP (recompute); grouped bias reduced over its group.
+    # Never taken for the frozen trunk; exact for unfrozen fine-tuning.
+    qt, kt, vt, bias, w, b = res
+    reps = qt.shape[0] // bias.shape[0]
+    full = jnp.repeat(bias, reps, axis=0)
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, bb, ww, bias_: window_attention_proj_reference(
+            qq, kk, vv, bb, ww, bias_, scale),
+        qt, kt, vt, full, w, b)
+    dqt, dkt, dvt, dfull, dw, db = vjp(g)
+    dbias = dfull.reshape((bias.shape[0], reps) + bias.shape[1:]).sum(1)
+    return dqt, dkt, dvt, dbias, dw, db
+
+
+_fused_attn_proj.defvjp(_fused_attn_proj_fwd, _fused_attn_proj_bwd)
+
+
+def fused_window_attention_proj(
+    qt: jnp.ndarray,
+    kt: jnp.ndarray,
+    vt: jnp.ndarray,
+    bias: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    scale: float = 1.0,
+) -> Optional[jnp.ndarray]:
+    """Windowed attention + output projection fused into one Pallas program:
+    qt/kt/vt (B, H, D, N) feature-major, GROUPED additive bias (P, H, Nq, Nk),
+    proj kernel (H*D, C) + bias (C,) -> (B, Nq, C) token-major.
+
+    Returns None when the all-heads-resident program exceeds the VMEM budget
+    (Swin-L res5) or shapes need sublane padding — the caller then takes the
+    two-step fused_window_attention + XLA-proj path.
+    """
+    if jax.default_backend() != "tpu":
+        return window_attention_proj_reference(qt, kt, vt, bias, w, b, scale)
+    nq, d = qt.shape[3], qt.shape[2]
+    if nq % 8 or kt.shape[3] % 8 or d % 8:
+        return None
+    if not _attn_proj_fits(qt, kt, w):
+        return None
+    return _fused_attn_proj(qt, kt, vt, bias, w, b, scale)
+
+
+def _attn_proj_fits(qt, kt, w) -> bool:
+    bb, h, d, nq = qt.shape
+    nk = kt.shape[3]
+    c = w.shape[1]
+    lq, lk = -(-nq // _LANE) * _LANE, -(-nk // _LANE) * _LANE
+    lc = -(-c // _LANE) * _LANE
+    fixed = (h * lq * lk * 4 + h * d * lc * w.dtype.itemsize
+             + 2 * lq * lk * 4 + lq * lc * 4)
+    per_w = (h * d * (lq + 2 * lk) * qt.dtype.itemsize
+             + lq * lc * qt.dtype.itemsize)
+    return fixed + per_w <= 12 * 2**20
 
 
 def fused_window_attention(

@@ -224,3 +224,68 @@ def test_qkv_layout_bfn_equivalence():
     yb = b.apply(pa, x, True)  # same params through both layouts
     np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
                                atol=1e-5, rtol=1e-5)
+
+class TestFusedWindowAttentionProj:
+    """Attention + output-projection single-program kernel (VERDICT r4 #7)."""
+
+    def _inputs(self, b_img=2, nw=4, heads=3, n=16, d=8, c_out=None, seed=0):
+        rng = np.random.RandomState(seed)
+        bnw = b_img * nw
+        c = heads * d
+        c_out = c_out or c
+        qt = jnp.asarray(rng.randn(bnw, heads, d, n).astype(np.float32))
+        kt = jnp.asarray(rng.randn(bnw, heads, d, n).astype(np.float32))
+        vt = jnp.asarray(rng.randn(bnw, heads, d, n).astype(np.float32))
+        bias = jnp.asarray(rng.randn(nw, heads, n, n).astype(np.float32))
+        w = jnp.asarray(rng.randn(c, c_out).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.randn(c_out).astype(np.float32))
+        return qt, kt, vt, bias, w, b
+
+    def test_kernel_matches_reference_interpret(self):
+        from partdistillation_tpu.ops.fused_attention import (
+            _attn_proj_fwd_pallas, window_attention_proj_reference)
+
+        qt, kt, vt, bias, w, b = self._inputs()
+        out = _attn_proj_fwd_pallas(qt, kt, vt, bias, w, b, 0.5,
+                                    interpret=True)
+        ref = window_attention_proj_reference(qt, kt, vt, bias, w, b, 0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_grads_match_composition(self):
+        from partdistillation_tpu.ops.fused_attention import (
+            _fused_attn_proj_bwd, window_attention_proj_reference)
+
+        qt, kt, vt, bias, w, b = self._inputs(b_img=1, nw=2, heads=2, n=8, d=8)
+        g = jnp.ones((qt.shape[0], 8, w.shape[1]), jnp.float32)
+        grads = _fused_attn_proj_bwd(0.5, (qt, kt, vt, bias, w, b), g)
+        assert grads[0].shape == qt.shape and grads[3].shape == bias.shape
+        assert grads[4].shape == w.shape and grads[5].shape == b.shape
+        _, vjp = jax.vjp(lambda ww: window_attention_proj_reference(
+            qt, kt, vt, bias, ww, b, 0.5), w)
+        (dw_ref,) = vjp(g)
+        np.testing.assert_allclose(np.asarray(grads[4]), np.asarray(dw_ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    @pytest.mark.slow  # compile-heavy: full-model equivalence
+    def test_swin_fused_proj_equivalence(self):
+        """SwinTransformer(fused_proj=True) == (False) on CPU (the reference
+        composition path), both fused-attention."""
+        from partdistillation_tpu.models.swin import SwinConfig, SwinTransformer
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+        outs = []
+        params = None
+        for fproj in (True, False):
+            cfg = SwinConfig(embed_dim=8, depths=(2, 2), num_heads=(2, 4),
+                             window_size=4, drop_path_rate=0.0,
+                             out_features=("res2", "res3"), fused_proj=fproj)
+            model = SwinTransformer(cfg)
+            if params is None:
+                params = model.init(jax.random.PRNGKey(0), x)
+            outs.append(model.apply(params, x))
+        for key in outs[0]:
+            np.testing.assert_allclose(np.asarray(outs[0][key]),
+                                       np.asarray(outs[1][key]),
+                                       atol=1e-5, rtol=1e-5)

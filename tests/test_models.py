@@ -143,3 +143,53 @@ def test_segmenter_train_grads_finite():
     g = jax.grad(loss)(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_attn_mask_from_features_equivalent():
+    """Bilinear resize commutes with the membed.features contraction, so the
+    resized-features block-mask path (attn_mask_from_features=True, VERDICT r4
+    #2) must produce the same decoder outputs as the reference-shaped
+    resize-the-mask-logits path (up to float reassociation)."""
+    import dataclasses
+
+    from partdistillation_tpu.models.transformer_decoder import (
+        MultiScaleMaskedTransformerDecoder,
+    )
+
+    dec_cfg = TransformerDecoderConfig(
+        num_classes=1, hidden_dim=32, num_queries=8, num_heads=4,
+        dim_feedforward=64, dec_layers=3, mask_dim=32,
+        use_fused_attention=False,
+    )
+    key = jax.random.PRNGKey(0)
+    b = 2
+    feats = [
+        jax.random.normal(key, (b, 2, 2, 32)),
+        jax.random.normal(jax.random.fold_in(key, 1), (b, 4, 4, 32)),
+        jax.random.normal(jax.random.fold_in(key, 2), (b, 8, 8, 32)),
+    ]
+    mask_features = jax.random.normal(jax.random.fold_in(key, 3), (b, 16, 16, 32))
+
+    ref = MultiScaleMaskedTransformerDecoder(dec_cfg)
+    params = ref.init(jax.random.PRNGKey(1), feats, mask_features)
+    out_ref = ref.apply(params, feats, mask_features)
+
+    fast = MultiScaleMaskedTransformerDecoder(
+        dataclasses.replace(dec_cfg, attn_mask_from_features=True))
+    out_fast = fast.apply(params, feats, mask_features)
+
+    np.testing.assert_allclose(
+        np.asarray(out_ref["pred_masks"]), np.asarray(out_fast["pred_masks"]),
+        atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_ref["pred_logits"]), np.asarray(out_fast["pred_logits"]),
+        atol=1e-5, rtol=1e-5)
+    # direct commutation check at the formula level: resize(membed.F) ==
+    # membed.resize(F)
+    membed = jax.random.normal(jax.random.fold_in(key, 4), (b, 8, 32))
+    masks = jnp.einsum("bqc,bhwc->bqhw", membed, mask_features)
+    a = jax.image.resize(masks, (b, 8, 4, 4), method="linear", antialias=False)
+    fs = jax.image.resize(mask_features, (b, 4, 4, 32), method="linear",
+                          antialias=False)
+    bm = jnp.einsum("bqc,bhwc->bqhw", membed, fs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bm), atol=1e-4, rtol=1e-4)

@@ -30,7 +30,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 import bench  # noqa: E402
 
 KNOBS = ("BENCH_BAND_TX", "BENCH_BAND_RADIUS", "BENCH_BAND_TQ",
-         "BENCH_FUSED_LN", "BENCH_FUSED_MLP", "BENCH_BS")
+         "BENCH_FUSED_LN", "BENCH_FUSED_MLP", "BENCH_BS",
+         "BENCH_QKV_LAYOUT", "BENCH_MASK_MAJOR", "BENCH_FUSED_PROJ")
 
 
 def main():

@@ -58,6 +58,9 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
             dtype=dtype,
             fused_layernorm=os.environ.get("BENCH_FUSED_LN", "1") == "1",
             fused_mlp=os.environ.get("BENCH_FUSED_MLP", "1") == "1",
+            # BENCH_FUSED_MLP_STOCH=0: round-4 behavior (kernel only for
+            # identity-DropPath blocks — 23/24 trunk blocks unfused in train)
+            fused_mlp_stochastic=os.environ.get("BENCH_FUSED_MLP_STOCH", "1") == "1",
             # BENCH_QKV_LAYOUT=bfn: qkv projection emits (B,3C,N) so the
             # per-q/k/v slices land in the window kernel's layout with no
             # whole-tensor relayout (VERDICT r4 #2 A/B)
@@ -85,7 +88,10 @@ def build(batch_size: int, image_size: int = 640, dtype=jnp.bfloat16,
             num_classes=1, num_queries=200, dec_layers=9, dtype=dtype,
             # BENCH_MASK_MAJOR=0: A/B back to resizing each layer's full-res
             # mask logits instead of once-resized mask features (r5 adoption)
-            attn_mask_from_features=os.environ.get("BENCH_MASK_MAJOR", "1") == "1"),
+            attn_mask_from_features=os.environ.get("BENCH_MASK_MAJOR", "1") == "1",
+            # BENCH_MASK_CAST=0: keep mask logits f32 (skip the bf16 convert
+            # — its only job was feeding the reference-shaped resize chain)
+            cast_mask_logits=os.environ.get("BENCH_MASK_CAST", "1") == "1"),
         # reference stage-3 freeze (train_multi.sh:8): stop-gradient releases
         # all trunk backward activations on top of the optimizer masking
         freeze_backbone=True,

@@ -66,6 +66,12 @@ class SwinConfig:
     # closer to the f32 composition than the bf16 XLA path it replaces
     # (PERF.md round 4).
     fused_mlp: bool = True
+    # Use the BRANCH-mode fused MLP kernel for stochastic-depth blocks in the
+    # train step too (DropPath + residual applied outside the kernel). Off =
+    # round-4 behavior: only identity-DropPath blocks take the kernel, which
+    # left 23/24 trunk blocks unfused in the train step (~43 ms/step of
+    # unfused mlp_fc2 fusions, round-5 profile). A/B: BENCH_FUSED_MLP_STOCH.
+    fused_mlp_stochastic: bool = True
     # qkv projection output layout feeding the fused window-attention kernel:
     # "fbn"  — TransposedDense emits (3C, B, N); splitting 3C->(3,H,hd) then
     #          moving B before (H,hd) costs one whole-tensor relayout copy
@@ -374,6 +380,7 @@ class SwinBlock(nn.Module):
     fused_attention: bool = True
     fused_layernorm: bool = False
     fused_mlp: bool = False
+    fused_mlp_stochastic: bool = True
     qkv_layout: str = "fbn"
     fused_proj: bool = False
 
@@ -422,20 +429,31 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, deterministic)
 
         hidden = int(self.dim * self.mlp_ratio)
-        # fused LN+MLP+residual (one Pallas program per token tile, weights
-        # VMEM-pinned — ops/fused_mlp.py). DropPath multiplies the branch
-        # BEFORE the fused residual add, so only the identity-DropPath cases
-        # take the kernel; param trees are identical either way.
-        if self.fused_mlp and (deterministic or self.drop_path == 0.0):
+        # fused LN+MLP (one Pallas program per token tile, weights
+        # VMEM-pinned — ops/fused_mlp.py). Identity-DropPath cases take the
+        # residual-fused kernel; the stochastic-depth path (train step,
+        # drop_path > 0) takes the BRANCH-mode kernel and applies
+        # DropPath + residual outside — round-5 profile showed the previous
+        # deterministic-only gate left 23/24 trunk blocks unfused in the
+        # train step (~43 ms/step of unfused mlp_fc2 fusions, PERF.md r5).
+        # Param trees are identical either way.
+        if self.fused_mlp and (self.fused_mlp_stochastic or deterministic
+                               or self.drop_path == 0.0):
             from ..ops.fused_mlp import fused_ln_mlp
 
             scale, bias = _LNParams(name="norm2")(c)
             w1, b1 = _DenseParams(hidden, name="mlp_fc1")(c)
             w2, b2 = _DenseParams(self.dim, name="mlp_fc2")(hidden)
             d = self.dtype
-            return fused_ln_mlp(x.astype(d), scale.astype(d), bias.astype(d),
-                                w1.astype(d), b1.astype(d),
-                                w2.astype(d), b2.astype(d))
+            if deterministic or self.drop_path == 0.0:
+                return fused_ln_mlp(x.astype(d), scale.astype(d),
+                                    bias.astype(d), w1.astype(d),
+                                    b1.astype(d), w2.astype(d), b2.astype(d))
+            y = fused_ln_mlp(x.astype(d), scale.astype(d), bias.astype(d),
+                             w1.astype(d), b1.astype(d),
+                             w2.astype(d), b2.astype(d), add_residual=False)
+            return x + DropPath(self.drop_path, name="drop_path2")(
+                y, deterministic)
         y = LN(epsilon=1e-5, dtype=self.dtype, fused=self.fused_layernorm,
                name="norm2")(x)
         y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
@@ -502,6 +520,7 @@ class SwinTransformer(nn.Module):
                     fused_attention=cfg.fused_attention,
                     qkv_layout=cfg.qkv_layout,
                     fused_proj=cfg.fused_proj,
+                    fused_mlp_stochastic=cfg.fused_mlp_stochastic,
                     fused_layernorm=cfg.fused_layernorm,
                     fused_mlp=cfg.fused_mlp,
                     name=f"stage{stage}_block{blk}",

@@ -88,6 +88,13 @@ class TransformerDecoderConfig:
     # 633.8/633.0 ms), additive with qkv_layout="bfn" (combined 629.9/629.8
     # ms = 25.40 img/s — PERF.md round 5).
     attn_mask_from_features: bool = True
+    # Cast the per-layer mask logits from the einsum's f32 accumulate down to
+    # the compute dtype. The cast existed to feed the bf16 resize chain of
+    # the reference-shaped attention-mask path; with attn_mask_from_features
+    # the only consumers are the criterion (recasts to f32) and the outputs —
+    # the round-5 profile showed the casts as 7.2 ms/step of convert copies
+    # (predictor scope). A/B knob: BENCH_MASK_CAST.
+    cast_mask_logits: bool = True
 
 
 class _MLP(nn.Module):
@@ -227,7 +234,11 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
                 membed = membed / (jnp.linalg.norm(membed, axis=-1, keepdims=True) + 1e-12)
             masks = jnp.einsum(
                 "bqc,bhwc->bqhw", membed, mask_features, preferred_element_type=jnp.float32
-            ).astype(cfg.dtype)
+            )
+            if cfg.cast_mask_logits or not cfg.attn_mask_from_features:
+                # the reference-shaped path NEEDS the compute-dtype masks
+                # (the bf16 resize chain consumes them)
+                masks = masks.astype(cfg.dtype)
             if cfg.attn_mask_from_features:
                 m_small = jnp.einsum(
                     "bqc,bhwc->bqhw", jax.lax.stop_gradient(membed),

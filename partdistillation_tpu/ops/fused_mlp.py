@@ -31,7 +31,7 @@ _LANE = 128
 
 
 def ln_mlp_reference(x, scale, bias, w1, b1, w2, b2, eps=1e-5,
-                     dtype=jnp.bfloat16):
+                     dtype=jnp.bfloat16, add_residual=True):
     """XLA composition with the SwinBlock's exact numerics (LN stats and
     matmuls in ``dtype`` except f32 accumulation via preferred type)."""
     xd = x.astype(dtype)
@@ -42,10 +42,11 @@ def ln_mlp_reference(x, scale, bias, w1, b1, w2, b2, eps=1e-5,
     h = (y @ w1.astype(dtype) + b1.astype(dtype)).astype(dtype)
     h = jax.nn.gelu(h, approximate=False)
     o = (h @ w2.astype(dtype) + b2.astype(dtype)).astype(dtype)
-    return x + o
+    return x + o if add_residual else o
 
 
-def ln_mlp_kernel_numerics(x, scale, bias, w1, b1, w2, b2, eps=1e-5):
+def ln_mlp_kernel_numerics(x, scale, bias, w1, b1, w2, b2, eps=1e-5,
+                           add_residual=True):
     """XLA composition matching the PALLAS KERNEL's numerics path (f32 LN
     statistics, f32 matmul accumulation over compute-dtype operands, exact
     f32 GELU) — the function the custom VJP differentiates, so backward is
@@ -65,7 +66,9 @@ def ln_mlp_kernel_numerics(x, scale, bias, w1, b1, w2, b2, eps=1e-5):
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + b2.astype(jnp.float32)
-    return x + y.astype(x.dtype)
+    if add_residual:
+        return x + y.astype(x.dtype)
+    return y.astype(x.dtype)
 
 
 def _erf_f32(x):
@@ -82,7 +85,7 @@ def _erf_f32(x):
 
 
 def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-            eps: float):
+            eps: float, add_residual: bool):
     x = x_ref[...]                       # (T, C) compute dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -99,11 +102,14 @@ def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + b2_ref[0].astype(jnp.float32)
-    o_ref[...] = x + y.astype(x.dtype)
+    if add_residual:
+        o_ref[...] = x + y.astype(x.dtype)
+    else:
+        o_ref[...] = y.astype(x.dtype)
 
 
 def _fwd_pallas(x, scale, bias, w1, b1, w2, b2, eps, token_tile,
-                interpret=False):
+                add_residual=True, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -115,7 +121,7 @@ def _fwd_pallas(x, scale, bias, w1, b1, w2, b2, eps, token_tile,
 
     row = lambda a: a.reshape(1, -1)
     out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, add_residual=add_residual),
         out_shape=jax.ShapeDtypeStruct((npad, c), x.dtype),
         grid=(npad // token_tile,),
         in_specs=[
@@ -135,24 +141,27 @@ def _fwd_pallas(x, scale, bias, w1, b1, w2, b2, eps, token_tile,
     return out[:n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _fused(x, scale, bias, w1, b1, w2, b2, eps, token_tile):
-    return _fwd_pallas(x, scale, bias, w1, b1, w2, b2, eps, token_tile)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _fused(x, scale, bias, w1, b1, w2, b2, eps, token_tile, add_residual):
+    return _fwd_pallas(x, scale, bias, w1, b1, w2, b2, eps, token_tile,
+                       add_residual)
 
 
-def _fused_fwd(x, scale, bias, w1, b1, w2, b2, eps, token_tile):
-    return (_fwd_pallas(x, scale, bias, w1, b1, w2, b2, eps, token_tile),
+def _fused_fwd(x, scale, bias, w1, b1, w2, b2, eps, token_tile, add_residual):
+    return (_fwd_pallas(x, scale, bias, w1, b1, w2, b2, eps, token_tile,
+                        add_residual),
             (x, scale, bias, w1, b1, w2, b2))
 
 
-def _fused_bwd(eps, token_tile, res, g):
+def _fused_bwd(eps, token_tile, add_residual, res, g):
     # VJP of the KERNEL-numerics composition (f32 LN stats + f32 GELU, see
     # ln_mlp_kernel_numerics) so backward differentiates the same function
     # the Pallas forward computes; recompute-based. Never taken for the
     # frozen trunk (stop_gradient), correct if the backbone is unfrozen.
     x, scale, bias, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
-        lambda *a: ln_mlp_kernel_numerics(*a, eps=eps),
+        lambda *a: ln_mlp_kernel_numerics(*a, eps=eps,
+                                          add_residual=add_residual),
         x, scale, bias, w1, b1, w2, b2)
     return vjp(g)
 
@@ -161,8 +170,10 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_ln_mlp(x, scale, bias, w1, b1, w2, b2, eps: float = 1e-5,
-                 token_tile: int = 256):
-    """x: (..., C) -> (..., C), computing x + fc2(gelu(fc1(LN(x)))).
+                 token_tile: int = 256, add_residual: bool = True):
+    """x: (..., C) -> (..., C), computing x + fc2(gelu(fc1(LN(x)))) — or just
+    the branch fc2(gelu(fc1(LN(x)))) with ``add_residual=False`` (the
+    stochastic-depth path scales the branch before its own residual add).
 
     Dispatches to the Pallas kernel on TPU when the weight pair fits VMEM
     (C <= 1024 covers Swin-L res2-res4); XLA composition otherwise.
@@ -174,8 +185,9 @@ def fused_ln_mlp(x, scale, bias, w1, b1, w2, b2, eps: float = 1e-5,
         + 2 * token_tile * c * x.dtype.itemsize
     if jax.default_backend() != "tpu" or vmem > 14 * 2**20:
         return ln_mlp_reference(x, scale, bias, w1, b1, w2, b2, eps=eps,
-                                dtype=x.dtype)
+                                dtype=x.dtype, add_residual=add_residual)
     lead = x.shape[:-1]
     flat = x.reshape(-1, c)
-    out = _fused(flat, scale, bias, w1, b1, w2, b2, eps, token_tile)
+    out = _fused(flat, scale, bias, w1, b1, w2, b2, eps, token_tile,
+                 add_residual)
     return out.reshape(*lead, c)

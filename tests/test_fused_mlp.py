@@ -58,7 +58,7 @@ def test_vjp_matches_composition():
         return fm.ln_mlp_reference(*a, dtype=jnp.float32).sum()
 
     g_ref = jax.grad(f_ref, argnums=tuple(range(7)))(*args)
-    grads = fm._fused_bwd(1e-5, 16, args, jnp.ones((33, 24), jnp.float32))
+    grads = fm._fused_bwd(1e-5, 16, True, args, jnp.ones((33, 24), jnp.float32))
     for a, b in zip(grads, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
@@ -75,7 +75,7 @@ def test_vjp_differentiates_kernel_numerics_at_bf16():
         return fm.ln_mlp_kernel_numerics(*a).astype(jnp.float32).sum()
 
     g_ref = jax.grad(f_kernel, argnums=tuple(range(7)))(*args)
-    grads = fm._fused_bwd(1e-5, 16, args, jnp.ones((33, 24), jnp.bfloat16))
+    grads = fm._fused_bwd(1e-5, 16, True, args, jnp.ones((33, 24), jnp.bfloat16))
     for a, b in zip(grads, g_ref):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
@@ -113,3 +113,45 @@ def test_swin_block_flag_equivalence():
     y1 = blk1.apply(p0, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_branch_mode_kernel_matches_composition_interpret():
+    """add_residual=False returns exactly the MLP branch (round-5
+    stochastic-depth path)."""
+    args = _inputs()
+    ref = fm.ln_mlp_reference(*args, dtype=jnp.float32, add_residual=False)
+    out = fm._fwd_pallas(*args, eps=1e-5, token_tile=16,
+                         add_residual=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # branch + x == residual-mode output
+    full = fm._fwd_pallas(*args, eps=1e-5, token_tile=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out + args[0]), np.asarray(full),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_swin_block_stochastic_fused_equivalence():
+    """With drop_path > 0 and deterministic=False, the branch-mode fused
+    block equals the unfused block under the SAME dropout key (DropPath
+    consumes one bernoulli either way; param trees identical)."""
+    from partdistillation_tpu.models.swin import SwinBlock
+
+    kw = dict(dim=24, num_heads=4, window_size=4, shift_size=0,
+              mlp_ratio=4.0, qkv_bias=True, qk_scale=None, drop_path=0.5,
+              dtype=jnp.float32, fused_attention=False, fused_layernorm=False)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 8, 8, 24), jnp.float32)
+
+    blk0 = SwinBlock(fused_mlp=False, **kw)
+    blk1 = SwinBlock(fused_mlp=True, fused_mlp_stochastic=True, **kw)
+    p = blk0.init(jax.random.PRNGKey(0), x, deterministic=True)
+    assert (jax.tree_util.tree_structure(p) ==
+            jax.tree_util.tree_structure(
+                blk1.init(jax.random.PRNGKey(0), x, deterministic=True)))
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+    y0 = blk0.apply(p, x, deterministic=False, rngs=rngs)
+    y1 = blk1.apply(p, x, deterministic=False, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=1e-5, rtol=1e-5)
+    # the stochastic path actually dropped someone (drop_path=0.5, 4 samples)
+    det = blk0.apply(p, x, deterministic=True)
+    assert not np.allclose(np.asarray(y0), np.asarray(det))

@@ -31,7 +31,8 @@ import bench  # noqa: E402
 
 KNOBS = ("BENCH_BAND_TX", "BENCH_BAND_RADIUS", "BENCH_BAND_TQ",
          "BENCH_FUSED_LN", "BENCH_FUSED_MLP", "BENCH_BS",
-         "BENCH_QKV_LAYOUT", "BENCH_MASK_MAJOR", "BENCH_FUSED_PROJ")
+         "BENCH_QKV_LAYOUT", "BENCH_MASK_MAJOR", "BENCH_FUSED_PROJ",
+         "BENCH_MASK_CAST", "BENCH_FUSED_MLP_STOCH")
 
 
 def main():

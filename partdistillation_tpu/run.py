@@ -965,6 +965,14 @@ def _train_loop(cfg, trainer, loader, stage: str, eval_fn=None, vis_fn=None):
             logger.info("%s step %d: loss=%.4f grad=%.3f %.2f img/s",
                         stage, step, m.get("total_loss", float("nan")),
                         m.get("grad_norm", float("nan")), ips)
+            if os.environ.get("PD_DEBUG_JIT"):
+                # retrace debugging: a growing cache means the batch arg
+                # signature is unstable and every step re-traces/reloads
+                try:
+                    logger.info("jit cache size: %s",
+                                trainer._step_fn._cache_size())
+                except Exception:
+                    pass
             mlog.log({**m, "images_per_sec": ips}, step)
         if eval_fn is not None and cfg.eval_every > 0 and step % cfg.eval_every == 0:
             emetrics = eval_fn(trainer.state.params)
@@ -1123,6 +1131,16 @@ def cmd_train_distillation(args):
     model_cfg = PartDistillationConfig(
         segmenter=seg,
         criterion=CriterionConfig(num_classes=args.num_parts, num_points=n_pts,
+                                  # reference stage-5 launch config disables
+                                  # importance sampling (train.sh:20,42) —
+                                  # ratio 0 resolves point_mode to the exact
+                                  # gather-free jittered grid; the 0.75
+                                  # default's random-point path costs ~5 s/
+                                  # step at production geometry (the round-3
+                                  # stage-5 finding, which the CLI had
+                                  # re-introduced — caught by bench_pipeline,
+                                  # PERF.md round 5)
+                                  importance_sample_ratio=0.0,
                                   matcher=MatcherConfig(num_points=n_pts)),
         num_parts=args.num_parts)
     model = MaskFormerSegmenter(seg)
@@ -1376,8 +1394,17 @@ def cmd_rank(args):
         from .engine.launch import barrier, is_main_process
 
         raw_cluster_fn = make_cluster_fn(rank_cfg)
+        # fetch ONLY what ClusteringModule consumes: feats (B,K,256) + valid.
+        # The first composite pipeline run (PERF.md round 5) measured this
+        # phase at 0.49 img/s e2e vs ~30 on-device because the full
+        # (B, topk, H, W) pred_masks output was read back every batch and
+        # then discarded — keeping masks out of the jit's fetched outputs
+        # removes ~99% of the readback bytes (XLA still computes what valid
+        # depends on, but never transfers the mask tensor).
         cluster_fn = jax.jit(
-            lambda p, wire: raw_cluster_fn(p, _wire_unpack(wire)))
+            lambda p, wire: {
+                k: v for k, v in raw_cluster_fn(p, _wire_unpack(wire)).items()
+                if k in ("feats", "valid")})
         clusterer = ClusteringModule(num_obj, seg.decoder.hidden_dim,
                                      args.num_clusters,
                                      distributed=jax.process_count() > 1)
@@ -1402,19 +1429,38 @@ def cmd_rank(args):
     if "save" in phases:
         centroids = jnp.asarray(np.load(centroid_path)["centroids"])
         raw_label_fn = make_label_fn(rank_cfg, RankingMode.SAVE)
+        # Only valid slots are written to the store, and slot order is
+        # score-descending — compact the valid slots to the front ON DEVICE
+        # and download just the first --save-topk of them (the first
+        # composite pipeline run measured 6.0 img/s e2e here with all
+        # topk=200 bit-packed masks on the wire; typical valid counts are
+        # <= the proposal capacity). Overflow beyond the cap is counted and
+        # logged so a production run can raise --save-topk.
+        save_cap = min(args.save_topk, args.num_queries)
 
         def _label_wire(p, wire, cents):
             out = dict(raw_label_fn(p, {
                 **_wire_unpack(wire),
                 "object_label": wire["object_label"],
                 "mask_labels": wire["mask_labels"]}, cents))
-            out["pred_masks"] = pack_bits(out["pred_masks"])
-            return out
+            va = out["valid"]
+            idx = jnp.argsort(~va, axis=1, stable=True)[:, :save_cap]
+            take = lambda a: jnp.take_along_axis(a, idx, axis=1)
+            return {
+                "pred_masks": pack_bits(jnp.take_along_axis(
+                    out["pred_masks"], idx[..., None, None], axis=1)),
+                "scores": take(out["scores"]),
+                "pred_labels": take(out["pred_labels"]),
+                "valid": take(va),
+                "overflow": jnp.maximum(
+                    jnp.sum(va, axis=1) - save_cap, 0),
+            }
 
         label_fn = jax.jit(_label_wire)
         shard, num_shards = _shard_id(args)
         writer = ShardWriter(cfg.paths.part_masks_with_class, shard, num_shards)
         n_saved = 0
+        n_overflow = 0
         timer = _StageTimer()
         for batch in batches():
             out = label_fn(params, {
@@ -1426,6 +1472,7 @@ def cmd_rank(args):
             sc = np.asarray(out["scores"])
             lb = np.asarray(out["pred_labels"])
             va = np.asarray(out["valid"])
+            n_overflow += int(np.sum(np.asarray(out["overflow"])))
             for b in range(pm.shape[0]):
                 if not batch["batch_valid"][b]:
                     continue
@@ -1441,7 +1488,12 @@ def cmd_rank(args):
                 }))
             timer.batch(int(np.sum(batch["batch_valid"])))
         writer.close()
-        phase_stats["save"] = {"saved": n_saved, **timer.stats()}
+        if n_overflow:
+            logger.warning(
+                "stage 4 save: %d valid parts beyond --save-topk %d were "
+                "dropped; raise --save-topk", n_overflow, save_cap)
+        phase_stats["save"] = {"saved": n_saved, "overflow": n_overflow,
+                               **timer.stats()}
         logger.info("stage 4 save: %d records", n_saved)
 
     if "match" in phases or "eval" in phases:
@@ -2270,6 +2322,10 @@ def build_parser():
     p.add_argument("--num-queries", type=int, default=200)
     p.add_argument("--num-object-classes", type=int, default=None)
     p.add_argument("--raw-proposals", action="store_true")
+    p.add_argument("--save-topk", type=int, default=32,
+                   help="save phase: max valid parts downloaded/saved per "
+                        "image (device-side compaction; overflow is counted "
+                        "and logged)")
     p.set_defaults(fn=cmd_rank)
 
     p = sub.add_parser("train-distillation", help="stage 5: self-training")

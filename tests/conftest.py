@@ -25,7 +25,25 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: this box has very few cores, and the big
 # pipeline tests are compile-bound — cache XLA executables across test runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# The directory is keyed by the HOST's CPU feature set: XLA:CPU persists AOT
+# executables whose cache key does not fully capture the target machine
+# features, and loading an artifact compiled on a different
+# microarchitecture SIGILLs/crashes the test process (observed round 5:
+# "+prefer-no-scatter is not supported on the host machine ... SIGILL"
+# after the repo directory moved boxes between rounds).
+def _machine_tag():
+    import hashlib
+    import platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), platform.machine())
+    except OSError:
+        flags = platform.machine() + platform.processor()
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
+_cache_dir = os.path.join(os.path.dirname(__file__),
+                          f".jax_cache_{_machine_tag()}")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -49,9 +49,27 @@ def _setup(args) -> "PipelineConfig":
     try:
         import jax
 
-        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_cache_tpu")
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if not cache:
+            root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            if jax.default_backend() == "cpu":
+                # XLA:CPU AOT artifacts are NOT portable across host CPU
+                # microarchitectures and their cache key misses the machine
+                # features — loading a stale artifact after the repo moves
+                # boxes SIGILLs (observed round 5; tests/conftest.py carries
+                # the same guard). Key the CPU cache by the host's flags.
+                import hashlib
+                import platform
+                try:
+                    with open("/proc/cpuinfo") as f:
+                        flags = next((l for l in f if l.startswith("flags")),
+                                     platform.machine())
+                except OSError:
+                    flags = platform.machine() + platform.processor()
+                tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+                cache = os.path.join(root, f".jax_cache_cpu_{tag}")
+            else:
+                cache = os.path.join(root, ".jax_cache_tpu")
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception as e:  # never block a CLI on cache plumbing

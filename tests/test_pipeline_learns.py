@@ -251,5 +251,9 @@ def test_pipeline_learns_end_to_end(learn_env, capsys):
                     stage="distill-eval")
     print(f"[learns] stage-5 C-mIoU: trained={trained5['C-mIoU']:.3f} "
           f"chance={chance5['C-mIoU']:.3f}")
-    assert trained5["C-mIoU"] >= 0.25, (trained5, chance5)
-    assert trained5["C-mIoU"] >= chance5["C-mIoU"] + 0.08, (trained5, chance5)
+    # Ratchet (VERDICT r4 #4): measured round 5 under shipped defaults —
+    # trained C-mIoU 79.7, chance 32.5 (percent scale). Floor = just below
+    # 0.8x the measured value (seed margin), plus a real trained-vs-chance
+    # gap; the old 0.25 floor was vacuous against a 32.5 chance.
+    assert trained5["C-mIoU"] >= 60.0, (trained5, chance5)
+    assert trained5["C-mIoU"] >= chance5["C-mIoU"] + 25.0, (trained5, chance5)
